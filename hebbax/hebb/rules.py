@@ -1,0 +1,275 @@
+"""Functional Hebbian plasticity rules (rank-generic: 2D and 3D).
+
+Math contract replicated from the reference layers
+(/root/reference/hebb/hebb.py:93-172,234-277 and hebb/hebb3d.py), with a
+TPU-first formulation:
+
+* Every "r times unfolded-input" correlation is expressed as the
+  weight-gradient of the layer's own (transpose-)convolution, obtained with
+  ``jax.vjp``.  XLA lowers these to MXU weight-grad convs — no materialized
+  ``F.unfold`` tensors, and the reference's 32-channel chunk workaround for
+  3D (hebb3d.py:7,117-125) becomes unnecessary.
+* Unfold *sums* (the swta_t decay statistics) reuse the same trick with an
+  all-ones single-channel input.
+* Decay terms are small ``(O,O)`` / ``(k..,O)`` einsums.
+
+Rules (patchwise=True, the only branch the reference exercises — its
+non-patchwise swta branch is shape-inconsistent dead code):
+
+  swta   : r = softmax(k*y);   dw = <r, x_patches> - (sum r) * w
+  hpca   : Sanger;             dw = <y, x_patches> - tril(y y^T) @ w
+  swta_t : transpose-conv swta over unfolded outputs
+  hpca_t : transpose-conv Sanger over unfolded outputs
+  contrastive: gradient of a local InfoNCE-like neighborhood objective.
+
+Conventions: channels-last activations (N, *spatial, C); kernels stored
+``(*k, I, O)`` where I always matches the layer *input* channels (for both
+conv and transpose conv).  ``x`` is the manually padded layer input; ``y``
+the pre-activation output.
+"""
+
+import functools
+import operator
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _specs(nd):
+    sp = "DHW"[3 - nd:]
+    return "N" + sp + "C", sp + "IO", "N" + sp + "C"
+
+
+def conv_fwd(x, w, strides):
+    """VALID cross-correlation, channels-last; x must be pre-padded."""
+    nd = x.ndim - 2
+    return lax.conv_general_dilated(
+        x, w, window_strides=strides, padding="VALID",
+        dimension_numbers=_specs(nd))
+
+
+def conv_transpose_fwd(x, w, strides):
+    """Transpose convolution with the adjoint-of-conv (PyTorch) kernel
+    orientation: y[p] = sum_q x[q] * w[p - s*q]; output (i-1)*s + k."""
+    nd = x.ndim - 2
+    k = w.shape[:nd]
+    w_flip = w[tuple(slice(None, None, -1) for _ in range(nd))]
+    return lax.conv_general_dilated(
+        x, w_flip, window_strides=(1,) * nd,
+        padding=[(ki - 1, ki - 1) for ki in k],
+        lhs_dilation=strides,
+        dimension_numbers=_specs(nd))
+
+
+def _wgrad(fwd, x, w_shape, cotangent, strides):
+    """d/dw <fwd(x, w), cotangent> — the unfold correlation, as a
+    weight-gradient conv.  fwd is linear in w, so the primal value of w
+    is irrelevant; zeros are used."""
+    zero_w = jnp.zeros(w_shape, x.dtype)
+    _, vjp = jax.vjp(lambda w_: fwd(x, w_, strides), zero_w)
+    return vjp(cotangent)[0]
+
+
+def normalize(x, axis):
+    """L2-normalize with zero-norm guard (reference hebb.py:10-13)."""
+    nrm = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
+    nrm = jnp.where(nrm == 0, 1.0, nrm)
+    return x / nrm
+
+
+def weight_norm_axes(nd, transpose):
+    """Per-filter normalization axes for a (*k, I, O) kernel.
+
+    Forward convs normalize each output filter (over spatial + I); the
+    reference's transpose layers inherit ``normalize(w, dim=(1,2,3))`` on a
+    (I, O, *k) tensor, i.e. per *input* channel (over spatial + O)."""
+    if transpose:
+        return tuple(range(nd)) + (nd + 1,)
+    return tuple(range(nd)) + (nd,)
+
+
+# ---------------------------------------------------------------------------
+# Forward-conv rules (hebb.py:102-141); also used for swta/hpca on transpose
+# layers with x and y swapped and the kernel I/O axes transposed
+# (hebb.py:243-246).
+# ---------------------------------------------------------------------------
+
+def swta_conv_delta(w, x, y, k, strides):
+    """dw = <softmax(k y), x_patches> - (sum softmax) * w."""
+    x = lax.stop_gradient(x)
+    y = lax.stop_gradient(y)
+    r = jax.nn.softmax(k * y, axis=-1)
+    pos = _wgrad(conv_fwd, x, w.shape, r, strides)
+    r_sum = jnp.sum(r, axis=tuple(range(r.ndim - 1)))  # (O,)
+    return pos - r_sum * w
+
+
+def hpca_conv_delta(w, x, y, strides):
+    """Sanger's rule: dw = <y, x_patches> - tril(y y^T) @ w."""
+    x = lax.stop_gradient(x)
+    y = lax.stop_gradient(y)
+    pos = _wgrad(conv_fwd, x, w.shape, y, strides)
+    yf = y.reshape(-1, y.shape[-1])
+    m = yf.T @ yf                                     # (O, O)
+    o = m.shape[0]
+    tril = jnp.tril(jnp.ones((o, o), w.dtype))        # includes diagonal
+    dec = jnp.einsum("ab,...b->...a", m * tril, w)
+    return pos - dec
+
+
+# ---------------------------------------------------------------------------
+# Transpose-conv rules (hebb.py:252-277): operate on the *output* map
+# unfolded with (kernel, stride); patch q of the unfold aligns with input
+# pixel q, element kappa of a patch is y[s*q + kappa].
+# ---------------------------------------------------------------------------
+
+def _unfold_sum(y, x_shape, k, strides):
+    """sum_{n,q} y[n, s*q + kappa, o] for each kernel offset kappa,
+    via a weight-grad conv against an all-ones 1-channel input.
+    Returns (*k, O)."""
+    nd = y.ndim - 2
+    ones = jnp.ones(x_shape[:-1] + (1,), y.dtype)
+    g = _wgrad(conv_transpose_fwd, ones, k + (1, y.shape[-1]), y, strides)
+    return g[..., 0, :]
+
+
+def _strided_patches_m(y, x_shape, k, strides):
+    """Per-kernel-offset output Gram matrices M[kappa][o,o'] =
+    sum_{n,q} y[n, s q + kappa, o] y[n, s q + kappa, o'] using strided
+    slices of y (no materialized unfold).  Returns (prod(k), O, O) plus
+    the static list of offsets."""
+    import itertools
+
+    nd = y.ndim - 2
+    in_spatial = x_shape[1:-1]
+    mats = []
+    for kappa in itertools.product(*[range(ki) for ki in k]):
+        idx = (slice(None),) + tuple(
+            slice(kappa[d], kappa[d] + strides[d] * in_spatial[d], strides[d])
+            for d in range(nd)) + (slice(None),)
+        y_k = y[idx]
+        yf = y_k.reshape(-1, y.shape[-1])
+        mats.append(yf.T @ yf)
+    return jnp.stack(mats)  # (prod(k), O, O)
+
+
+def swta_t_delta(w, x, y, k_temp, strides):
+    """Transpose-conv SWTA: r = softmax(k y) over channels of the (larger)
+    output map; dw = <r_unfold, x> - (sum_kappa sum r_unfold) * w."""
+    x = lax.stop_gradient(x)
+    y = lax.stop_gradient(y)
+    nd = x.ndim - 2
+    k = w.shape[:nd]
+    r = jax.nn.softmax(k_temp * y, axis=-1)
+    pos = _wgrad(conv_transpose_fwd, x, w.shape, r, strides)
+    r_sum = _unfold_sum(r, x.shape, k, strides)        # (*k, O)
+    # patchwise: decay summed over kernel offsets, broadcast back
+    dec = jnp.sum(r_sum[..., None, :] * w,
+                  axis=tuple(range(nd)), keepdims=True)
+    return pos - dec
+
+
+def hpca_t_delta(w, x, y, strides):
+    """Transpose-conv Sanger: per-offset Gram of the unfolded output."""
+    x = lax.stop_gradient(x)
+    y = lax.stop_gradient(y)
+    nd = x.ndim - 2
+    k = w.shape[:nd]
+    pos = _wgrad(conv_transpose_fwd, x, w.shape, y, strides)
+    m = _strided_patches_m(y, x.shape, k, strides)     # (K, O, O)
+    o = m.shape[-1]
+    tril = jnp.tril(jnp.ones((o, o), w.dtype))
+    w_k = w.reshape((-1,) + w.shape[nd:])              # (K, I, O)
+    # patchwise: dec[i,o] = sum_kappa sum_{o'<=o} M_k[o,o'] w[kappa,i,o']
+    dec = jnp.einsum("kab,kib->ia", m * tril, w_k)
+    return pos - dec.reshape((1,) * nd + dec.shape)
+
+
+# ---------------------------------------------------------------------------
+# Contrastive rule (hebb.py:143-172): gradient of a local neighborhood
+# objective; positives = own 3x3 neighborhood, negatives = the same
+# neighborhood from a batch-shuffled image.
+# ---------------------------------------------------------------------------
+
+def _neighborhood_sum(y):
+    """Sum over the 3^nd neighborhood (SAME padding, zeros)."""
+    nd = y.ndim - 2
+    window = (1,) + (3,) * nd + (1,)
+    return lax.reduce_window(y, 0.0, lax.add, window, (1,) * (nd + 2),
+                             "SAME")
+
+
+def contrastive_delta(w, x, key, strides, transpose, w_nrm, contrast=1.0,
+                      uniformity=False, bias=None):
+    """dw = d/dw sum[-nbr(y) . y + contrast * nbr(y)[perm] . y], where
+    y = fwd(x, normalize(w)) is L2-normalized over channels and perm
+    shuffles the batch.  Note the sign: the reference *adds* this gradient
+    to delta_w and local_update negates it, producing ascent on the
+    objective — replicated exactly."""
+    x = lax.stop_gradient(x)
+    fwd = conv_transpose_fwd if transpose else conv_fwd
+    nd = x.ndim - 2
+    perm = jax.random.permutation(key, x.shape[0])
+
+    def objective(w_):
+        w_eff = (normalize(w_, axis=weight_norm_axes(nd, transpose))
+                 if w_nrm else w_)
+        y = fwd(x, w_eff, strides)
+        if bias is not None:
+            y = y + bias
+        y = normalize(y, axis=-1)
+        nbr = _neighborhood_sum(y)
+        l = -jnp.sum(nbr * y, axis=-1) + contrast * jnp.sum(
+            nbr[perm] * y, axis=-1)
+        if uniformity:
+            xn = normalize(x, axis=-1)
+            umap = jnp.sum(_neighborhood_sum(xn) * xn, axis=-1,
+                           keepdims=True)
+            ones_k = jnp.ones(w.shape[:nd] + (1, 1), x.dtype)
+            umap = fwd(umap, ones_k, strides)[..., 0]
+            l = l * lax.stop_gradient(umap)
+        return jnp.sum(l)
+
+    return jax.grad(objective)(w)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+def compute_delta(spec, w, x, y, strides, transpose, key=None, bias=None):
+    """Route to the configured rule.  For transpose layers with a non-_t
+    mode, the conv rule runs with x<->y swapped and the kernel I/O axes
+    transposed (hebb.py:243-246)."""
+    if not spec.patchwise:
+        raise NotImplementedError(
+            "patchwise=False is dead code in the reference (shape-"
+            "inconsistent) and is not supported")
+    mode = spec.conv_mode(transpose)
+    nd = x.ndim - 2
+    if mode == "contrastive":
+        return contrastive_delta(w, x, key, strides, transpose, spec.w_nrm,
+                                 spec.contrast, spec.uniformity, bias)
+    if transpose and mode in ("swta", "hpca"):
+        w_sw = jnp.swapaxes(w, nd, nd + 1)
+        if mode == "swta":
+            d = swta_conv_delta(w_sw, y, x, spec.k, strides)
+        else:
+            d = hpca_conv_delta(w_sw, y, x, strides)
+        return jnp.swapaxes(d, nd, nd + 1)
+    if mode == "swta":
+        if transpose:
+            raise AssertionError  # handled above
+        return swta_conv_delta(w, x, y, spec.k, strides)
+    if mode == "hpca":
+        return hpca_conv_delta(w, x, y, strides)
+    if mode == "swta_t":
+        if not transpose:
+            raise ValueError("swta_t only applies to transpose convs")
+        return swta_t_delta(w, x, y, spec.k, strides)
+    if mode == "hpca_t":
+        if not transpose:
+            raise ValueError("hpca_t only applies to transpose convs")
+        return hpca_t_delta(w, x, y, strides)
+    raise NotImplementedError(f"Hebbian mode {mode!r} unavailable")
