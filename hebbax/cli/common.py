@@ -1,0 +1,151 @@
+"""Shared CLI plumbing for the 2D trainers.
+
+Keeps the reference's argparse surface per entry point
+(/root/reference/train_sup_2d.py:31-63) while backing all scripts with the
+same construction helpers: dataset/loader assembly, model + Hebbian
+checkpoint hand-off, optimizer/schedule stack.
+"""
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import traverse_util
+
+from ..config.datasets import dataset_cfg, input_stats
+from ..config.schedules import make_optimizer, warmup_step_schedule
+from ..data import Loader, SegDataset2D
+from ..hebb.spec import HebbSpec
+from ..models import get_network, network_meta
+from ..utils.checkpoint import load_snapshot
+from ..utils.seeding import init_seeds
+
+
+def base_parser_2d(defaults=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--device", default=0, type=int)  # kept for CLI parity
+    p.add_argument("--path_root_exp", default="./runs")
+    p.add_argument("--path_dataset", default="data/GlaS")
+    p.add_argument("--dataset_name", default="GlaS")
+    p.add_argument("--input1", default="image")
+    p.add_argument("--regime", default=20, type=int)
+    p.add_argument("-b", "--batch_size", default=2, type=int)
+    p.add_argument("-e", "--num_epochs", default=200, type=int)
+    p.add_argument("-s", "--step_size", default=50, type=int)
+    p.add_argument("--optimizer", default="sgd", type=str)
+    p.add_argument("-l", "--lr", default=0.5, type=float)
+    p.add_argument("-g", "--gamma", default=0.5, type=float)
+    p.add_argument("--loss", default="dice", type=str)
+    p.add_argument("-ds", "--deep_supervision", default=False)
+    p.add_argument("-w", "--warm_up_duration", default=20, type=int)
+    p.add_argument("--momentum", default=0.9, type=float)
+    p.add_argument("--wd", default=-5, type=float)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("-i", "--display_iter", default=1, type=int)
+    p.add_argument("--validate_iter", default=2, type=int)
+    p.add_argument("-n", "--network", default="unet", type=str)
+    p.add_argument("--debug", default=True)
+    p.add_argument("--init_weights", default="kaiming", type=str)
+    p.add_argument("--num_workers", default=8, type=int)
+    if defaults:
+        p.set_defaults(**defaults)
+    return p
+
+
+def make_loaders_2d(args, cfg, sup=True, regime=None, splits=("train",
+                                                              "val")):
+    mean, std = input_stats(cfg, args.input1)
+    loaders = {}
+    regime = args.regime if regime is None else regime
+    for split in splits:
+        ds = SegDataset2D(
+            os.path.join(args.path_dataset, "val" if split == "val"
+                         else "train"),
+            args.input1, mean, std, split=split, sup=sup,
+            regime=regime if split == "train" else 100, seed=args.seed)
+        loaders[split] = Loader(
+            ds, args.batch_size, shuffle=(split == "train"),
+            seed=args.seed, num_workers=args.num_workers)
+    return loaders
+
+
+def hebbian_finetune_spec(meta):
+    """HebbSpec for fine-tuning from a Hebbian snapshot: alpha forced to 0
+    (train_sup_2d.py:152-154)."""
+    hp = dict(meta["hebb_params"])
+    hp["alpha"] = 0.0
+    return HebbSpec.from_dict(hp, exclude=meta.get("excluded_layers") or ())
+
+
+def reinit_excluded(loaded_params, fresh_params, exclude):
+    """Replace excluded-module params with freshly initialized values
+    (train_sup_2d.py:160-166: excluded layers re-kaiming'd after load)."""
+    flat = traverse_util.flatten_dict(loaded_params)
+    fresh = traverse_util.flatten_dict(fresh_params)
+    from ..hebb.spec import is_excluded
+    for path in flat:
+        if is_excluded(path[:-1], exclude):
+            flat[path] = fresh[path]
+    return traverse_util.unflatten_dict(flat)
+
+
+def build_model_2d(args, cfg, load_hebbian=None, load_weights=None,
+                   sample_shape=(2, 128, 128)):
+    """Model + initial variables, handling the pretrain->fine-tune
+    hand-off (train_sup_2d.py:148-172)."""
+    init_seeds(args.seed)
+    in_ch, n_cls = cfg["IN_CHANNELS"], cfg["NUM_CLASSES"]
+    rngs = {"params": jax.random.PRNGKey(args.seed),
+            "dropout": jax.random.PRNGKey(args.seed + 1),
+            "perturb": jax.random.PRNGKey(args.seed + 2),
+            "latent": jax.random.PRNGKey(args.seed + 3)}
+    sample = jnp.zeros(sample_shape + (in_ch,), jnp.float32)
+
+    hebb = None
+    if load_hebbian:
+        _, meta = load_snapshot(load_hebbian)
+        hebb = hebbian_finetune_spec(meta)
+
+    model = get_network(args.network, in_ch, n_cls,
+                        init_type=args.init_weights, hebb=hebb)
+    variables = model.init(rngs, sample, train=False)
+
+    if load_hebbian:
+        loaded, meta = load_snapshot(load_hebbian)
+        params = reinit_excluded(loaded["params"], variables["params"],
+                                 hebb.exclude)
+        variables = dict(variables)
+        variables["params"] = params
+        if "batch_stats" in loaded and "batch_stats" in variables:
+            variables["batch_stats"] = loaded["batch_stats"]
+    elif load_weights:
+        loaded, _ = load_snapshot(load_weights)
+        variables = dict(variables)
+        new_params = dict(loaded["params"])
+        # re-init the head like the reference (train_sup_2d.py:171)
+        if "out_conv" in variables["params"]:
+            new_params["out_conv"] = variables["params"]["out_conv"]
+        variables["params"] = new_params
+        if "batch_stats" in loaded:
+            variables["batch_stats"] = loaded["batch_stats"]
+
+    return model, variables, hebb
+
+
+def build_tx(args, steps_per_epoch):
+    """Optimizer + warmup/step schedule (train_sup_2d.py:180-188)."""
+    schedule = warmup_step_schedule(
+        args.lr, warmup=args.warm_up_duration, step_size=args.step_size,
+        gamma=args.gamma, steps_per_epoch=steps_per_epoch)
+    wd = 5 * 10 ** args.wd if args.optimizer == "sgd" else 0.0
+    return make_optimizer(args.optimizer, schedule,
+                          momentum=args.momentum, weight_decay=wd)
+
+
+def prep_batch(batch):
+    out = {"image": jnp.asarray(batch["image"])}
+    if "mask" in batch:
+        out["mask"] = jnp.asarray(batch["mask"])
+    return out

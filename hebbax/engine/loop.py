@@ -1,0 +1,169 @@
+"""Epoch harness for single-model training (supervised baselines and the
+unsupervised pretrainers).
+
+Mirrors the reference loop contract (/root/reference/train_sup_2d.py:
+196-367): per-epoch training with streaming metric accumulation,
+display-interval console/TensorBoard/CSV reporting, validation-interval
+evaluation with best-val-Jaccard snapshotting, and final last.ckpt +
+train_log.csv/val_log.csv artifacts — with the compute expressed as one
+donated jitted step and metrics accumulated on device (no epoch-long
+logit hoarding; utils.py:242-267 is replaced by the streaming sweep).
+"""
+
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.metrics import make_accumulator
+from ..utils import images as image_utils
+from ..utils.checkpoint import save_snapshot
+from ..utils.logging import BoxPrinter, MetricsLog, make_tb_writer
+
+
+class SupTrainer:
+    """Single-model trainer.
+
+    Parameters
+    ----------
+    train_step : jitted (state, batch, key) -> (state, {'loss','logits'})
+    eval_step : jitted (variables, batch, key) -> {'logits', 'loss'}
+    batch_prep : optional host fn(batch dict) -> batch dict (device put /
+        sharding, mask retype) applied before each step.
+    """
+
+    def __init__(self, *, model, state, train_step, eval_step, loaders,
+                 num_classes, paths, args, hebb_meta=None,
+                 palette=None, printer=None):
+        self.model = model
+        self.state = state
+        self.train_step = train_step
+        self.eval_step = eval_step
+        self.loaders = loaders
+        self.num_classes = num_classes
+        self.paths = paths
+        self.args = args
+        self.hebb_meta = hebb_meta or {}
+        self.palette = palette
+        self.printer = printer or BoxPrinter(num_classes)
+        self.writer = make_tb_writer(paths.tensorboard)
+        self.train_log = MetricsLog(paths.run, "train_log.csv")
+        self.val_log = MetricsLog(paths.run, "val_log.csv")
+        self.best_val = [0.0, 0.0, 0.0]
+        self.best_epoch = -1
+
+    # -- helpers ---------------------------------------------------------
+
+    def _key(self, epoch, i=0, val=False):
+        base = jax.random.PRNGKey(self.args.seed + (1 << 20 if val else 0))
+        return jax.random.fold_in(base, epoch * 100003 + i)
+
+    def _save_best(self, threshold, epoch):
+        save_snapshot(
+            self.state.variables, self.paths.checkpoints,
+            threshold=threshold, save_best=True, **self.hebb_meta)
+        self.best_epoch = epoch
+
+    def _save_last(self, threshold):
+        save_snapshot(
+            self.state.variables, self.paths.checkpoints,
+            threshold=threshold, save_best=False, **self.hebb_meta)
+
+    # -- main loop -------------------------------------------------------
+
+    def train_epoch(self, epoch, collect_metrics):
+        acc = make_accumulator(self.num_classes) if collect_metrics else None
+        total_loss, n_batches = 0.0, 0
+        last = None
+        for i, batch in enumerate(self.loaders["train"]):
+            batch = self.prep(batch)
+            self.state, out = self.train_step(
+                self.state, batch, self._key(epoch, i))
+            total_loss += float(out["loss"])
+            n_batches += 1
+            if acc is not None:
+                acc.update(out["logits"], batch["mask"])
+            last = (out, batch)
+        return total_loss / max(n_batches, 1), acc, last
+
+    def validate(self, epoch):
+        acc = make_accumulator(self.num_classes)
+        total_loss, n_batches = 0.0, 0
+        preds, names = [], []
+        variables = self.state.variables
+        for i, batch in enumerate(self.loaders["val"]):
+            ids = batch.get("id")
+            batch = self.prep(batch)
+            out = self.eval_step(variables, batch,
+                                 self._key(epoch, i, val=True))
+            if "loss" in out:
+                total_loss += float(out["loss"])
+            n_batches += 1
+            acc.update(out["logits"], batch["mask"])
+            if self.args.debug and self.palette is not None:
+                probs = jax.nn.softmax(out["logits"], axis=-1)[..., 1]
+                preds.append(np.asarray(probs))
+                names.extend(ids or [])
+        thr, ji, dc = acc.finalize()
+        val_loss = total_loss / max(n_batches, 1)
+        return val_loss, (thr, ji, dc), preds, names
+
+    def prep(self, batch):
+        out = dict(batch)
+        out.pop("id", None)
+        return out
+
+    def run(self):
+        args = self.args
+        since = time.time()
+        for epoch in range(args.num_epochs):
+            display = (epoch + 1) % args.display_iter == 0
+            validate = ((epoch + 1) % args.validate_iter == 0
+                        or epoch + 1 == args.num_epochs)
+            train_loss, acc, _ = self.train_epoch(epoch, display)
+
+            if display:
+                p = self.printer
+                p.epoch_header(epoch, args.num_epochs)
+                p.epoch_loss(train_loss, train=True)
+                ev = acc.finalize()
+                p.eval_list(self.num_classes, ev, train=True)
+                self.writer.add_scalar("train/segm_loss", train_loss,
+                                       epoch + 1)
+                self.writer.add_scalar("train/JI", ev[1], epoch + 1)
+                self.writer.add_scalar("train/DC", ev[2], epoch + 1)
+                self.train_log.append(epoch=epoch + 1, loss=train_loss,
+                                      thresh=ev[0], JI=ev[1], DC=ev[2])
+
+            if validate:
+                val_loss, ev, preds, names = self.validate(epoch)
+                p = self.printer
+                p.epoch_loss(val_loss, train=False)
+                p.eval_list(self.num_classes, ev, train=False)
+                self.writer.add_scalar("val/segm_loss", val_loss, epoch + 1)
+                self.writer.add_scalar("val/JI", ev[1], epoch + 1)
+                self.writer.add_scalar("val/DC", ev[2], epoch + 1)
+                self.val_log.append(epoch=epoch + 1, loss=val_loss,
+                                    thresh=ev[0] if ev[0] else 0.0,
+                                    JI=ev[1], DC=ev[2])
+                if ev[1] > self.best_val[1]:
+                    self.best_val = list(ev)
+                    self._save_best(ev[0], epoch)
+                    if args.debug and preds and self.palette is not None:
+                        image_utils.save_preds(
+                            np.concatenate(preds), ev[0], names,
+                            self.paths.val_seg_preds, self.palette)
+
+        self._save_last(self.best_val[0])
+        self.train_log.flush()
+        self.val_log.flush()
+        self.printer.rule("=")
+        self.printer.best_val(self.num_classes, self.best_val)
+        elapsed = time.time() - since
+        self.printer.line(
+            f"Training done in {elapsed // 60:.0f}m {elapsed % 60:.0f}s")
+        self.printer.rule("=")
+        self.writer.close()
+        return self.best_val
