@@ -1,0 +1,61 @@
+"""Device mesh construction and sharding helpers.
+
+The reference is single-GPU (torch.cuda.set_device,
+/root/reference/train_sup_2d.py:66); hebbax is SPMD-first: one 'data' mesh
+axis for batch parallelism (params replicated, batch sharded over ICI),
+with room for a 'model' axis should channel sharding ever be needed.
+XLA inserts the psum all-reduces during jit; there is no hand-written
+collective layer (SURVEY.md section 2.6).
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension across the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, sharding: NamedSharding) -> dict:
+    """Device-put every array in a batch dict with the batch sharding."""
+    return {k: (jax.device_put(v, sharding)
+                if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0 else v)
+            for k, v in batch.items()}
+
+
+def replicate_state(state, mesh: Mesh):
+    """Replicate a train-state pytree across the mesh."""
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+
+
+def pad_batch_to(batch: dict, total: int) -> dict:
+    """Pad the batch dim to ``total`` by repeating the last sample and
+    return (batch, n_valid).  Keeps shapes static across the epoch so one
+    compiled step serves every batch; callers mask metrics with n_valid."""
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0:
+            n = v.shape[0]
+            if n < total:
+                pad = np.repeat(v[-1:], total - n, axis=0)
+                v = np.concatenate([v, pad], axis=0)
+            out[k] = v
+        else:
+            out[k] = v
+    return out
