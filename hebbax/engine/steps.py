@@ -94,6 +94,77 @@ def make_sup_train_step(model, network: str, criterion, tx,
     return jax.jit(step, donate_argnums=(0,))
 
 
+def head_only_mask(params, head_names):
+    """Boolean pytree: True only under the probe-head modules."""
+    from flax import traverse_util
+
+    from ..hebb.spec import is_excluded
+    flat = traverse_util.flatten_dict(params)
+    mask = {p: is_excluded(p[:-1], tuple(head_names)) for p in flat}
+    return traverse_util.unflatten_dict(mask)
+
+
+def make_probe_pretrain_step(model, network: str, criterion, tx,
+                             unsup_loss, head_names=("out_conv",),
+                             forward=None):
+    """Unsupervised pretraining with a supervised linear-probe head.
+
+    Replicates the reference's reset_internal_grads protocol
+    (pretrain_vae_unsup_2d.py:175-183, pretrain_superpix_unsup_2d.py:
+    177-180): probe segm grads reach ONLY the head modules; the rest of
+    the network learns from the unsupervised objective alone.
+
+      grads = grad(unsup) + restrict_to_head(grad(probe))
+
+    computed with one forward + two backward passes via jax.vjp.
+
+    unsup_loss(outputs, batch) -> scalar.  forward overrides the model
+    application (signature (variables, batch, key, train) ->
+    (outputs, mutated)) for exotic forwards like diffusion.
+    """
+    if forward is None:
+        def forward(variables, batch, key, train=True):
+            return model.apply(variables, batch["image"], train=train,
+                               rngs=_model_rngs(key),
+                               mutable=["batch_stats", "hebb"])
+
+    def step(state: TrainState, batch, key):
+        from flax import traverse_util
+        head_mask = head_only_mask(state.params, head_names)
+
+        def losses_of(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            outputs, mut = forward(variables, batch, key)
+            probe = criterion(primary_logits(network, outputs),
+                              batch["mask"])
+            unsup = unsup_loss(outputs, batch)
+            return (probe, unsup), (outputs, mut)
+
+        (probe_loss, unsup), pull, (outputs, mut) = jax.vjp(
+            losses_of, state.params, has_aux=True)
+        one, zero = jnp.float32(1.0), jnp.float32(0.0)
+        g_probe = pull((one, zero))[0]
+        g_unsup = pull((zero, one))[0]
+        fu = traverse_util.flatten_dict(g_unsup)
+        fp = traverse_util.flatten_dict(g_probe)
+        fm = traverse_util.flatten_dict(head_mask)
+        merged = {p: fu[p] + fp[p] if fm[p] else fu[p] for p in fu}
+        grads = traverse_util.unflatten_dict(merged)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params,
+            batch_stats=mut.get("batch_stats", state.batch_stats),
+            opt_state=opt_state, step=state.step + 1)
+        return new_state, {"loss": probe_loss, "loss_unsup": unsup,
+                           "logits": primary_logits(network, outputs)}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def make_eval_step(model, network: str, criterion=None,
                    needs_rng: bool = False):
     """Inference step returning primary logits (+ loss when criterion)."""

@@ -16,9 +16,10 @@ from typing import Optional
 import jax.numpy as jnp
 
 from ..hebb.spec import HebbSpec
+from .ddpm import DDPMUNet
 from .unet2d import (UNet2D, UNetCCT2D, UNetSuperpix2D, UNetURPC2D,
                      UNetVAE2D)
-from .unet3d import UNet3D, UNet3DCCT, UNet3DDTC, UNet3DSuperpix
+from .unet3d import UNet3D, UNet3DCCT, UNet3DDTC, UNet3DSuperpix, UNet3DVAE
 from .urpc3d import UNet3DURPC
 from .vnet import VNet, VNetDTC
 
@@ -31,6 +32,7 @@ _REGISTRY = {
                                  rngs=("perturb",))),
     "unet_vae": (UNetVAE2D, dict(nd=2, outputs="vae", rngs=("latent",))),
     "unet_superpix": (UNetSuperpix2D, dict(nd=2, outputs="superpix")),
+    "unet_ddpm": (DDPMUNet, dict(nd=2, outputs="ddpm")),
     # 3D
     "unet3d": (UNet3D, dict(nd=3, outputs="single")),
     "unet3d_min": (lambda **kw: UNet3D(init_features=32, **kw),
@@ -40,6 +42,8 @@ _REGISTRY = {
                                    rngs=("perturb",))),
     "unet3d_dtc": (UNet3DDTC, dict(nd=3, outputs="dtc")),
     "unet3d_superpix": (UNet3DSuperpix, dict(nd=3, outputs="superpix")),
+    "unet3d_vae": (UNet3DVAE, dict(nd=3, outputs="vae",
+                                   rngs=("latent",))),
     "vnet": (VNet, dict(nd=3, outputs="single")),
     "vnet_dtc": (VNetDTC, dict(nd=3, outputs="dtc")),
 }
@@ -84,4 +88,6 @@ def primary_logits(name: str, outputs):
         return outputs["output"]
     if kind == "dtc":
         return outputs[1]
+    if kind == "ddpm":
+        return outputs  # probe logits; diffusion paths are explicit
     return outputs[0]

@@ -171,6 +171,43 @@ class UNet3DCCT(nn.Module):
         return (main, *aux)
 
 
+class UNet3DVAE(nn.Module):
+    """3D analog of the 2D VAE variant (unet_vae.py:202-270): 1x1x1 mu/var
+    on the bottleneck, reparameterized latent into the decoder, seg +
+    reconstruction heads.  The reference registers 'unet3d_vae'
+    (getnetwork.py:32-33) but never ships the model — this makes the
+    path functional."""
+
+    in_channels: int
+    n_cls: int
+    init_features: int = 64
+    hebb: Optional[HebbSpec] = None
+    init_type: str = "kaiming"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(hebb=self.hebb, init_type=self.init_type, dtype=self.dtype)
+        f = self.init_features
+        feats, bottleneck = Encoder3D(f, name="encoder", **kw)(x, train)
+        mu = HConv(f * 16, kernel_size=(1, 1, 1), name="mu", **kw)(
+            bottleneck, train)
+        log_var = HConv(f * 16, kernel_size=(1, 1, 1), name="var", **kw)(
+            bottleneck, train)
+        std = jnp.exp(0.5 * log_var)
+        eps = (jax.random.normal(self.make_rng("latent"), std.shape,
+                                 std.dtype)
+               if self.has_rng("latent") else jnp.zeros_like(std))
+        latent = eps * std + mu
+        dec = Decoder3D(f, name="decoder", **kw)(latent, feats, train)
+        seg = HConv(self.n_cls, kernel_size=(1, 1, 1), name="conv",
+                    **kw)(dec, train)
+        reconstr = HConv(self.in_channels, kernel_size=(1, 1, 1),
+                         name="reconstr", **kw)(dec, train)
+        return {"output": seg, "mu": mu, "log_var": log_var,
+                "reconstr": reconstr}
+
+
 class UNet3DSuperpix(nn.Module):
     """UNet3D + 2-class superpixel head (unet3d_superpix.py:31-95)."""
 
