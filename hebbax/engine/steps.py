@@ -23,7 +23,7 @@ from .state import TrainState
 
 
 def _model_rngs(key, extra=()):
-    names = ("dropout", "hebb", "perturb", "latent")[:]
+    names = ("dropout", "hebb", "perturb", "latent", "poisson")
     keys = jax.random.split(key, len(names))
     return {n: k for n, k in zip(names, keys)}
 

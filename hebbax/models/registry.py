@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..hebb.spec import HebbSpec
 from .ddpm import DDPMUNet
+from .snn import ANNVGG, SNNVGG
 from .unet2d import (UNet2D, UNetCCT2D, UNetSuperpix2D, UNetURPC2D,
                      UNetVAE2D)
 from .unet3d import UNet3D, UNet3DCCT, UNet3DDTC, UNet3DSuperpix, UNet3DVAE
@@ -33,6 +34,14 @@ _REGISTRY = {
     "unet_vae": (UNetVAE2D, dict(nd=2, outputs="vae", rngs=("latent",))),
     "unet_superpix": (UNetSuperpix2D, dict(nd=2, outputs="superpix")),
     "unet_ddpm": (DDPMUNet, dict(nd=2, outputs="ddpm")),
+    "snn_vgg": (lambda in_channels, n_cls, init_type=None, hebb=None,
+                dtype=None, **kw: SNNVGG(in_channels=in_channels,
+                                         n_cls=n_cls, dtype=dtype, **kw),
+                dict(nd=2, outputs="single", rngs=("poisson",))),
+    "ann_vgg": (lambda in_channels, n_cls, init_type=None, hebb=None,
+                dtype=None, **kw: ANNVGG(in_channels=in_channels,
+                                         n_cls=n_cls, dtype=dtype, **kw),
+                dict(nd=2, outputs="single")),
     # 3D
     "unet3d": (UNet3D, dict(nd=3, outputs="single")),
     "unet3d_min": (lambda **kw: UNet3D(init_features=32, **kw),
