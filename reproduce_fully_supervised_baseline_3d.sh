@@ -1,0 +1,33 @@
+#!/bin/bash
+
+# Fully-supervised 3D baselines at regime 100%
+# (hebbax port of the reference's reproduce_fully_supervised_baseline_3d.sh; same sweep structure, flags
+#  and run-dir layout — checkpoints use the .ckpt extension)
+
+set -e
+
+REPS=5
+START_REP=0
+GPU=0
+
+BATCH_SIZE=2
+EVAL_BATCH_SIZE=2
+OPTIMIZER=sgd
+LR=0.1
+DATASETS=(
+    Atrial
+)
+
+DATA_ROOT=./data
+EXP_ROOT=./runs
+
+PATCH_SIZE='(96,96,80)'
+PATCH_OVERLAP='(48,48,40)'
+
+# Train & Test
+for DATASET in ${DATASETS[@]}; do
+    for REP in $(seq $(( $START_REP )) $(( $REPS - 1 ))); do
+        python train_sup_3d.py --dataset_name $DATASET --network unet3d --path_dataset $DATA_ROOT/$DATASET --path_root_exp $EXP_ROOT --regime 100 --batch_size 1 --optimizer $OPTIMIZER --seed $REP --validate_iter 2 --device $GPU --lr $LR --loss dice --patch_size $PATCH_SIZE
+        python test_3d.py --dataset_name $DATASET --network unet3d --path_dataset $DATA_ROOT/$DATASET --best JI --path_exp $EXP_ROOT/$DATASET/fully_sup/unet3d/inv_temp-1/regime-100/run-$REP --device $GPU --patch_size $PATCH_SIZE --patch_overlap $PATCH_OVERLAP --postprocessing True
+    done
+done

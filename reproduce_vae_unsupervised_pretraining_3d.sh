@@ -1,0 +1,26 @@
+#!/bin/bash
+
+# VAE unsupervised pretraining, 3D
+# (hebbax port of the reference's reproduce_vae_unsupervised_pretraining_3d.sh; same sweep structure, flags
+#  and run-dir layout — checkpoints use the .ckpt extension)
+
+set -e
+
+REPS=1
+START_REP=0
+GPU=0
+
+BATCH_SIZE=2
+EVAL_BATCH_SIZE=2
+OPTIMIZER=adam
+LR=1e-4
+DATASETS=(
+    Atrial
+)
+
+DATA_ROOT=./data
+EXP_ROOT=./runs
+
+for DATASET in ${DATASETS[@]}; do
+    python pretrain_vae_unsup_3d.py --dataset_name $DATASET --network unet3d_vae --path_dataset $DATA_ROOT/$DATASET --path_root_exp $EXP_ROOT --batch_size $BATCH_SIZE --optimizer $OPTIMIZER --seed 0 --validate_iter 1 --device $GPU --lr $LR --loss dice --patch_size '(96,96,80)'
+done
