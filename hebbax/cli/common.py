@@ -49,6 +49,8 @@ def base_parser_2d(defaults=None):
     p.add_argument("--debug", default=True)
     p.add_argument("--init_weights", default="kaiming", type=str)
     p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--dp_devices", default=1, type=int,
+                   help="data-parallel devices (0 = all local devices)")
     if defaults:
         p.set_defaults(**defaults)
     return p

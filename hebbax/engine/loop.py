@@ -53,6 +53,46 @@ class SupTrainer:
         self.val_log = MetricsLog(paths.run, "val_log.csv")
         self.best_val = [0.0, 0.0, 0.0]
         self.best_epoch = -1
+        self._sharding = None
+        self._n_valid = None
+
+    # -- SPMD data parallelism -------------------------------------------
+
+    def enable_data_parallel(self, n_devices=None):
+        """Shard batches over a 'data' mesh and replicate the train state
+        (SURVEY.md section 2.6: params replicated, batch sharded; XLA
+        inserts the psum all-reduces).  Partial batches are padded by
+        repeating the last sample; metrics are masked to the true count."""
+        import jax as _jax
+
+        from ..parallel import (batch_sharding, make_mesh, pad_batch_to,
+                                replicate_state)
+        n = n_devices or len(_jax.devices())
+        if n <= 1:
+            return self
+        mesh = make_mesh(n)
+        self._sharding = batch_sharding(mesh)
+        self._dp = n
+        self.state = replicate_state(self.state, mesh)
+        base_prep = self.prep
+
+        def prep(batch):
+            b = base_prep(batch)
+            sizes = [v.shape[0] for v in b.values()
+                     if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0]
+            n_valid = sizes[0] if sizes else 0
+            total = -(-n_valid // n) * n
+            if total != n_valid:
+                b = pad_batch_to(
+                    {k: (np.asarray(v) if hasattr(v, "shape") else v)
+                     for k, v in b.items()}, total)
+            self._n_valid = n_valid
+            return {k: (_jax.device_put(v, self._sharding)
+                        if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0
+                        else v) for k, v in b.items()}
+
+        self.prep = prep
+        return self
 
     # -- helpers ---------------------------------------------------------
 
@@ -84,7 +124,11 @@ class SupTrainer:
             total_loss += float(out["loss"])
             n_batches += 1
             if acc is not None:
-                acc.update(out["logits"], batch["mask"])
+                nv = self._n_valid
+                if nv is not None:
+                    acc.update(out["logits"][:nv], batch["mask"][:nv])
+                else:
+                    acc.update(out["logits"], batch["mask"])
             last = (out, batch)
         return total_loss / max(n_batches, 1), acc, last
 
@@ -101,10 +145,15 @@ class SupTrainer:
             if "loss" in out:
                 total_loss += float(out["loss"])
             n_batches += 1
-            acc.update(out["logits"], batch["mask"])
+            nv = self._n_valid
+            if nv is not None:
+                acc.update(out["logits"][:nv], batch["mask"][:nv])
+            else:
+                acc.update(out["logits"], batch["mask"])
             if self.args.debug and self.palette is not None:
                 probs = jax.nn.softmax(out["logits"], axis=-1)[..., 1]
-                preds.append(np.asarray(probs))
+                preds.append(np.asarray(probs if nv is None
+                                        else probs[:nv]))
                 names.extend(ids or [])
         thr, ji, dc = acc.finalize()
         val_loss = total_loss / max(n_batches, 1)
@@ -117,6 +166,9 @@ class SupTrainer:
 
     def run(self):
         args = self.args
+        dp = getattr(args, "dp_devices", 1)
+        if dp != 1 and self._sharding is None:
+            self.enable_data_parallel(dp or None)
         since = time.time()
         for epoch in range(args.num_epochs):
             display = (epoch + 1) % args.display_iter == 0

@@ -353,15 +353,19 @@ class SemiTrainer(SupTrainer):
             unsup_it = self._unsup_gen = self._unsup_iter()
         for i, sup_batch in enumerate(self.loaders["train_sup"]):
             unsup_batch = next(unsup_it)
-            sup_b = self.prep(sup_batch)
             unsup_b = self.prep(unsup_batch)
+            sup_b = self.prep(sup_batch)  # last: _n_valid tracks sup batch
+            nv = self._n_valid
             self.state, out = self.call_step(
                 sup_b, unsup_b, w, epoch, self._key(epoch, i))
             for k in totals:
                 totals[k] += float(out[k])
             n += 1
             if acc is not None:
-                acc.update(out["logits"], sup_b["mask"])
+                if nv is not None:
+                    acc.update(out["logits"][:nv], sup_b["mask"][:nv])
+                else:
+                    acc.update(out["logits"], sup_b["mask"])
         n = max(n, 1)
         self._epoch_losses = {k: v / n for k, v in totals.items()}
         return totals["loss"] / n, acc, None
