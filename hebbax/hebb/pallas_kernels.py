@@ -1,0 +1,146 @@
+"""Pallas TPU kernel for the SWTA Hebbian update (the pretraining hot
+path; SURVEY.md section 7 names this the prime fusion candidate).
+
+The XLA-composed path (rules.swta_conv_delta) materializes
+r = softmax(k*y) in HBM and re-reads it for the weight-gradient
+convolution.  This kernel fuses both: one pass over each sample computes
+the softmax in VMEM and accumulates
+
+    pos[di,dj,i,o] = sum_{n,p,q} r[n,p,q,o] * x[n, p+di, q+dj, i]
+    r_sum[o]       = sum r[...,o]
+
+into VMEM-resident accumulators via k*k MXU contractions per row chunk
+(delta = pos - r_sum * w is a cheap elementwise epilogue).
+
+Layout note: blocks are channel-FIRST (N, C, H, W) — with channels-last
+the small channel counts of the UNet (16..256) land on the 128-lane axis
+and VMEM tiles pad 8x, blowing the 16M scoped budget; with W on the lane
+axis the padding is negligible.
+
+The kernel covers 2D stride-1 convs (every conv in the 2D zoo).  It is
+OPT-IN via HEBBAX_ENABLE_PALLAS=1: on this hardware XLA's fused
+softmax + weight-grad conv is already near the HBM roofline for these
+layer shapes, and Mosaic compiles cost minutes per shape through the
+remote-TPU tunnel, so the validated XLA path stays the default.
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+
+def _swta_kernel(k_temp, kh, kw, chunk, x_ref, y_ref, pos_ref, rsum_ref):
+    """x_ref: (1, I, Hp, Wp); y_ref: (1, O, H, W);
+    pos_ref: (kh*kw*I, O); rsum_ref: (1, O)."""
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        pos_ref[:] = jnp.zeros_like(pos_ref)
+        rsum_ref[:] = jnp.zeros_like(rsum_ref)
+
+    o, h, w = y_ref.shape[1], y_ref.shape[2], y_ref.shape[3]
+    i = x_ref.shape[1]
+
+    def body(c, _):
+        row = c * chunk
+        y = y_ref[0, :, pl.ds(row, chunk), :]          # (O, chunk, W)
+        r = jax.nn.softmax(k_temp * y, axis=0)
+        r2 = r.reshape(o, chunk * w)
+        rsum_ref[:] += jnp.sum(r2, axis=1)[None, :]
+        for di in range(kh):
+            for dj in range(kw):
+                xs = x_ref[0, :, pl.ds(row + di, chunk),
+                           dj: dj + w].reshape(i, chunk * w)
+                acc = lax.dot_general(
+                    xs, r2, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (I, O)
+                idx = di * kw + dj
+                pos_ref[idx * i:(idx + 1) * i, :] += acc
+        return 0
+
+    lax.fori_loop(0, h // chunk, body, 0)
+
+
+def swta_delta_pallas(w, x, y, k_temp):
+    """Fused SWTA delta for 2D stride-1 convs.
+
+    w: (kh, kw, I, O); x: (N, H+kh-1, W+kw-1, I) pre-padded channels-last
+    input; y: (N, H, W, O) pre-activation.  Returns delta in w's shape.
+    """
+    kh, kw, i, o = w.shape
+    n, h, wd, _ = y.shape
+    chunk = 16
+    while h % chunk:
+        chunk //= 2
+    x_cf = jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.float32)
+    y_cf = jnp.transpose(y, (0, 3, 1, 2)).astype(jnp.float32)
+    kernel = functools.partial(_swta_kernel, float(k_temp), kh, kw, chunk)
+    pos, rsum = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, i, h + kh - 1, wd + kw - 1),
+                         lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, o, h, wd), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((kh * kw * i, o), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, o), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((kh * kw * i, o), jnp.float32),
+            jax.ShapeDtypeStruct((1, o), jnp.float32),
+        ],
+    )(x_cf, y_cf)
+    pos = pos.reshape(kh, kw, i, o)
+    return pos - rsum[0] * w
+
+
+# VMEM budget heuristic for the channel-first blocks (double-buffered)
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _fits_vmem(w, x, y):
+    kh, kw, i, o = w.shape
+    xb = i * (y.shape[1] + kh - 1) * (y.shape[2] + kw - 1) * 4
+    yb = o * y.shape[1] * y.shape[2] * 4
+    acc = kh * kw * i * o * 4
+    return 2 * (xb + yb) + acc < _VMEM_BUDGET
+
+
+def swta_delta(w, x, y, k_temp, strides):
+    """Dispatcher: fused Pallas kernel when enabled and eligible
+    (HEBBAX_ENABLE_PALLAS, TPU, 2D, stride 1, fits VMEM), else the
+    XLA-composed rule."""
+    from . import rules
+    if (pallas_available() and w.ndim == 4
+            and tuple(strides) == (1, 1) and _fits_vmem(w, x, y)):
+        return swta_delta_pallas(w, lax.stop_gradient(x),
+                                 lax.stop_gradient(y), k_temp)
+    return rules.swta_conv_delta(w, x, y, k_temp, tuple(strides))
+
+
+@functools.lru_cache(maxsize=1)
+def pallas_available() -> bool:
+    if not _PALLAS_OK or not os.environ.get("HEBBAX_ENABLE_PALLAS"):
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False

@@ -254,14 +254,18 @@ def compute_delta(spec, w, x, y, strides, transpose, key=None, bias=None):
     if transpose and mode in ("swta", "hpca"):
         w_sw = jnp.swapaxes(w, nd, nd + 1)
         if mode == "swta":
-            d = swta_conv_delta(w_sw, y, x, spec.k, strides)
+            from .pallas_kernels import swta_delta
+            d = swta_delta(w_sw, y, x, spec.k, strides)
         else:
             d = hpca_conv_delta(w_sw, y, x, strides)
         return jnp.swapaxes(d, nd, nd + 1)
     if mode == "swta":
         if transpose:
             raise AssertionError  # handled above
-        return swta_conv_delta(w, x, y, spec.k, strides)
+        # fused Pallas kernel on TPU for 2D stride-1 (the hot path);
+        # XLA-composed rule otherwise
+        from .pallas_kernels import swta_delta
+        return swta_delta(w, x, y, spec.k, strides)
     if mode == "hpca":
         return hpca_conv_delta(w, x, y, strides)
     if mode == "swta_t":
