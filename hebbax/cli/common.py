@@ -51,6 +51,11 @@ def base_parser_2d(defaults=None):
     p.add_argument("--num_workers", default=8, type=int)
     p.add_argument("--dp_devices", default=1, type=int,
                    help="data-parallel devices (0 = all local devices)")
+    p.add_argument("--profile_dir", default=None, type=str,
+                   help="capture a jax.profiler trace of epoch 1 here")
+    p.add_argument("--resume", default=False,
+                   help="write/consume a full resume checkpoint "
+                        "(optimizer + epoch state; reference has none)")
     if defaults:
         p.set_defaults(**defaults)
     return p

@@ -46,6 +46,10 @@ def build_parser():
     p.add_argument("--fill_hole_thr", default=500, type=int)
     p.add_argument("--postprocessing", default=False)
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--dp_devices", default=1, type=int,
+                   help="shard patch batches over N devices (0 = all); "
+                        "the TPU-native replacement for the reference's "
+                        "NCCL DDP tester (test_DTC.py:51,91)")
     return p
 
 
@@ -106,9 +110,23 @@ def run_test(args):
     model = get_network(args.network, cfg["IN_CHANNELS"], n_cls, hebb=hebb)
 
     @jax.jit
-    def forward(patches):
+    def _apply(patches):
         out = model.apply(variables, patches, train=False)
         return primary_logits(args.network, out)
+
+    dp = args.dp_devices
+    if dp != 1:
+        from ..parallel import (batch_sharding, make_mesh, replicated)
+        mesh = make_mesh(dp or None)
+        sharding = batch_sharding(mesh)
+        rep = replicated(mesh)
+        variables = jax.device_put(variables, rep)
+
+        def forward(patches):
+            return _apply(jax.device_put(jax.numpy.asarray(patches),
+                                         sharding))
+    else:
+        forward = _apply
 
     ds = VolumeDataset3D(
         os.path.join(args.path_dataset, "val"), args.input1, split="test",

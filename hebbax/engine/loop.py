@@ -169,12 +169,32 @@ class SupTrainer:
         dp = getattr(args, "dp_devices", 1)
         if dp != 1 and self._sharding is None:
             self.enable_data_parallel(dp or None)
+        profile_dir = getattr(args, "profile_dir", None)
         since = time.time()
-        for epoch in range(args.num_epochs):
+        start_epoch = 0
+        if getattr(args, "resume", None):
+            import os
+
+            from ..utils.checkpoint import load_train_state
+            rp = os.path.join(self.paths.checkpoints, "resume.ckpt")
+            if os.path.exists(rp):
+                self.state, meta = load_train_state(self.state, rp)
+                start_epoch = meta["epoch"] + 1
+                if meta.get("best_val"):
+                    self.best_val = meta["best_val"]
+                self.printer.line(f"Resumed from epoch {start_epoch}")
+        for epoch in range(start_epoch, args.num_epochs):
             display = (epoch + 1) % args.display_iter == 0
             validate = ((epoch + 1) % args.validate_iter == 0
                         or epoch + 1 == args.num_epochs)
-            train_loss, acc, _ = self.train_epoch(epoch, display)
+            epoch_t0 = time.time()
+            if profile_dir and epoch == 1:
+                # epoch 1: past compilation, representative steady state
+                with jax.profiler.trace(profile_dir):
+                    train_loss, acc, _ = self.train_epoch(epoch, display)
+            else:
+                train_loss, acc, _ = self.train_epoch(epoch, display)
+            self._epoch_seconds = time.time() - epoch_t0
 
             if display:
                 p = self.printer
@@ -187,7 +207,8 @@ class SupTrainer:
                 self.writer.add_scalar("train/JI", ev[1], epoch + 1)
                 self.writer.add_scalar("train/DC", ev[2], epoch + 1)
                 self.train_log.append(epoch=epoch + 1, loss=train_loss,
-                                      thresh=ev[0], JI=ev[1], DC=ev[2])
+                                      thresh=ev[0], JI=ev[1], DC=ev[2],
+                                      seconds=round(self._epoch_seconds, 3))
 
             if validate:
                 val_loss, ev, preds, names = self.validate(epoch)
@@ -207,6 +228,10 @@ class SupTrainer:
                         image_utils.save_preds(
                             np.concatenate(preds), ev[0], names,
                             self.paths.val_seg_preds, self.palette)
+                if getattr(args, "resume", None):
+                    from ..utils.checkpoint import save_train_state
+                    save_train_state(self.state, self.paths.checkpoints,
+                                     epoch, self.best_val)
 
         self._save_last(self.best_val[0])
         self.train_log.flush()

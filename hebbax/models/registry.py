@@ -22,7 +22,7 @@ from .unet2d import (UNet2D, UNetCCT2D, UNetSuperpix2D, UNetURPC2D,
                      UNetVAE2D)
 from .unet3d import UNet3D, UNet3DCCT, UNet3DDTC, UNet3DSuperpix, UNet3DVAE
 from .urpc3d import UNet3DURPC
-from .vnet import VNet, VNetDTC
+from .vnet import VNet, VNetCCT, VNetDTC
 
 # name -> (factory, metadata)
 _REGISTRY = {
@@ -55,6 +55,7 @@ _REGISTRY = {
                                    rngs=("latent",))),
     "vnet": (VNet, dict(nd=3, outputs="single")),
     "vnet_dtc": (VNetDTC, dict(nd=3, outputs="dtc")),
+    "vnet_cct": (VNetCCT, dict(nd=3, outputs="deep4", rngs=("perturb",))),
 }
 
 

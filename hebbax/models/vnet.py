@@ -148,6 +148,65 @@ class VNet(nn.Module):
         return OutputTransition(self.n_cls, name="out_tr", **kw)(out, train)
 
 
+class VNetDecoder(nn.Module):
+    """Shared VNet decode path (vnet_cct.py:177-195)."""
+
+    n_cls: int
+    hebb: Optional[HebbSpec] = None
+    init_type: str = "kaiming"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, out256, out128, out64, out32, out16,
+                 train: bool = False):
+        kw = dict(hebb=self.hebb, init_type=self.init_type,
+                  dtype=self.dtype)
+        out = UpTransition(256, 2, name="up_tr256", **kw)(out256, out128,
+                                                          train)
+        out = UpTransition(128, 2, name="up_tr128", **kw)(out, out64, train)
+        out = UpTransition(64, 1, name="up_tr64", **kw)(out, out32, train)
+        out = UpTransition(32, 1, name="up_tr32", **kw)(out, out16, train)
+        return OutputTransition(self.n_cls, name="out_tr", **kw)(out, train)
+
+
+class VNetCCT(nn.Module):
+    """VNet trunk, shared decoder run on clean + perturbed encoder
+    features (vnet_cct.py:195-232; like the reference, the aux decoders
+    exist but the main decoder serves all four passes)."""
+
+    in_channels: int
+    n_cls: int
+    hebb: Optional[HebbSpec] = None
+    init_type: str = "kaiming"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import jax
+
+        from .common import perturb_features
+        kw = dict(hebb=self.hebb, init_type=self.init_type,
+                  dtype=self.dtype)
+        out16 = InputTransition(name="in_tr", **kw)(x, train)
+        out32 = DownTransition(32, 1, name="down_tr32", **kw)(out16, train)
+        out64 = DownTransition(64, 2, name="down_tr64", **kw)(out32, train)
+        out128 = DownTransition(128, 3, name="down_tr128", **kw)(out64,
+                                                                 train)
+        out256 = DownTransition(256, 2, name="down_tr256", **kw)(out128,
+                                                                 train)
+        decoder = VNetDecoder(self.n_cls, name="main_decoder", **kw)
+        feats = [out256, out128, out64, out32, out16]
+        main = decoder(*feats, train)
+        if self.has_rng("perturb"):
+            keys = jax.random.split(self.make_rng("perturb"), 3)
+            aux = [decoder(*perturb_features(k, feats, kind), train)
+                   for k, kind in zip(keys, ("noise", "dropout",
+                                             "feature_dropout"))]
+        else:
+            aux = [main, main, main]
+        return (main, *aux)
+
+
 class VNetDTC(nn.Module):
     """VNet trunk with dual SDF (tanh) + seg heads, mirroring the
     reference's VNet_DTC (vnet_dtc.py:148-190: out_tr replaced by two

@@ -58,3 +58,37 @@ def load_snapshot(path):
         meta = json.loads(f.read(hlen).decode())
         variables = serialization.msgpack_restore(f.read())
     return variables, meta
+
+
+def save_train_state(state, path, epoch, best_val=None):
+    """Full mid-run resume checkpoint (params + batch stats + optimizer
+    state + epoch) — an extension over the reference, whose snapshots
+    carry no optimizer/epoch state (SURVEY.md section 5: 'mid-run resume
+    does not exist')."""
+    payload = serialization.to_state_dict(state)
+    blob = serialization.msgpack_serialize(_to_numpy(payload))
+    meta = {"epoch": int(epoch),
+            "best_val": list(best_val) if best_val else None}
+    header = json.dumps(meta).encode()
+    out = os.path.join(path, "resume.ckpt")
+    tmp = out + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<Q", len(header)))
+        f.write(header)
+        f.write(blob)
+    os.replace(tmp, out)
+    return out
+
+
+def load_train_state(state_template, path):
+    """Restore a resume checkpoint into a state pytree of the same
+    structure.  Returns (state, meta)."""
+    with open(path, "rb") as f:
+        if f.read(len(MAGIC)) != MAGIC:
+            raise ValueError(f"{path} is not a hebbax checkpoint")
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        meta = json.loads(f.read(hlen).decode())
+        payload = serialization.msgpack_restore(f.read())
+    state = serialization.from_state_dict(state_template, payload)
+    return state, meta
