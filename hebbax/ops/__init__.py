@@ -16,6 +16,11 @@ from .metrics import (
     evaluate,
     THRESHOLDS,
 )
+from .distance import assd, eval_distance_offline, hd95, mask_to_sdf
+from .ema import update_ema
+from .morphology import postprocess_3d_pred
+from .superpix import superpix_batch, superpix_region
+from .wavelets import dwt2, dwtn3
 
 __all__ = [
     "dice_loss",
@@ -32,4 +37,7 @@ __all__ = [
     "eval_multi_class",
     "evaluate",
     "THRESHOLDS",
+    "assd", "eval_distance_offline", "hd95", "mask_to_sdf",
+    "update_ema", "postprocess_3d_pred",
+    "superpix_batch", "superpix_region", "dwt2", "dwtn3",
 ]
