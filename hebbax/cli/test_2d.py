@@ -57,7 +57,19 @@ def evaluate_test(probs_fg, masks, threshold, num_classes=2):
         ji = tp / (union + tp) if union + tp else 0.0
         dc = 2 * tp / (union + 2 * tp) if union + 2 * tp else 0.0
         return threshold, ji, dc
-    raise NotImplementedError
+    # multiclass: argmax confusion (utils.py:270-288); probs_fg is then the
+    # class map produced by the caller
+    pred = probs_fg.astype(np.int64).ravel()
+    t = masks.astype(np.int64).ravel()
+    hist = np.bincount(t * num_classes + pred,
+                       minlength=num_classes ** 2).reshape(num_classes,
+                                                           num_classes)
+    diag = np.diag(hist).astype(float)
+    s0, s1 = hist.sum(axis=0), hist.sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ji = float(np.nanmean(diag / (s1 + s0 - diag)))
+        dc = float(np.nanmean(2 * diag / (s1 + s0)))
+    return None, ji, dc
 
 
 def run_test(args):
