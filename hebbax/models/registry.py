@@ -49,6 +49,8 @@ _REGISTRY = {
     "unet3d_urpc": (UNet3DURPC, dict(nd=3, outputs="deep4")),
     "unet3d_cct": (UNet3DCCT, dict(nd=3, outputs="deep4",
                                    rngs=("perturb",))),
+    "unet3d_cct_min": (lambda **kw: UNet3DCCT(init_features=32, **kw),
+                       dict(nd=3, outputs="deep4", rngs=("perturb",))),
     "unet3d_dtc": (UNet3DDTC, dict(nd=3, outputs="dtc")),
     "unet3d_superpix": (UNet3DSuperpix, dict(nd=3, outputs="superpix")),
     "unet3d_vae": (UNet3DVAE, dict(nd=3, outputs="vae",
