@@ -11,14 +11,13 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import traverse_util
 
-from ..config.datasets import dataset_cfg, input_stats
+from ..config.datasets import input_stats
 from ..config.schedules import make_optimizer, warmup_step_schedule
 from ..data import Loader, SegDataset2D
 from ..hebb.spec import HebbSpec
-from ..models import get_network, network_meta
+from ..models import get_network
 from ..utils.checkpoint import load_snapshot
 from ..utils.seeding import init_seeds
 

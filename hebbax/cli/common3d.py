@@ -8,9 +8,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config.datasets import dataset_cfg
 from ..data.volumes3d import PatchQueue, VolumeDataset3D
-from ..hebb.spec import HebbSpec
 from ..models import get_network
 from ..utils.checkpoint import load_snapshot
 from ..utils.seeding import init_seeds

@@ -21,7 +21,7 @@ from ..engine.steps import (_model_rngs, head_only_mask, make_eval_step,
                             make_probe_pretrain_step)
 from ..models import get_network, network_meta
 from ..ops import diffusion as diff
-from ..ops.losses import dice_loss, elbo_metric, segmentation_loss
+from ..ops.losses import elbo_metric, segmentation_loss
 from ..ops.superpix import superpix_batch
 from ..utils.rundir import RunPaths, dump_config
 from ..utils.seeding import init_seeds
@@ -157,8 +157,6 @@ def build(args, kind):
                 rngs, jnp.zeros((args.batch_size, 128, 128, in_ch + n_cls)),
                 jnp.zeros((args.batch_size,), jnp.int32), mode=mode,
                 train=False)
-            variables = jax.tree_util.tree_map(
-                lambda a: a, variables)  # keep dict
             merged_p = dict(v2["params"])
             merged_p.update(variables["params"])
             variables = {"params": merged_p,

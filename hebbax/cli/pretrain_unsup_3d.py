@@ -19,7 +19,7 @@ from ..config.datasets import dataset_cfg
 from ..engine.loop import SupTrainer
 from ..engine.state import TrainState
 from ..engine.steps import make_eval_step, make_probe_pretrain_step
-from ..models import get_network, network_meta
+from ..models import get_network
 from ..ops.losses import elbo_metric, segmentation_loss
 from ..ops.superpix import superpix_batch
 from ..utils.rundir import RunPaths, dump_config

@@ -20,7 +20,7 @@ from ..data.nrrd_io import read_nrrd, write_nrrd
 from ..data.volumes3d import VolumeDataset3D
 from ..engine.sliding import slide_window_inference
 from ..hebb.spec import HebbSpec
-from ..models import get_network, network_meta, primary_logits
+from ..models import get_network, primary_logits
 from ..ops.distance import eval_distance_offline
 from ..ops.morphology import postprocess_3d_pred
 from ..utils.checkpoint import load_snapshot

@@ -10,18 +10,15 @@ train_semi_EM_2d.py:80-89) and the Hebbian-pretrained hand-off
 import os
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 from ..config.datasets import dataset_cfg
-from ..engine import semi as semi_engine
 from ..engine.semi import (CPSTrainer, DualState, SemiTrainer,
                            UAMTDualTrainer, cct_unsup, deep4_sup, em_unsup,
                            make_cps_step, make_semi_step, make_uamt_step,
                            urpc_unsup)
 from ..engine.state import TrainState
 from ..engine.steps import make_eval_step
-from ..models import get_network, network_meta
+from ..models import network_meta
 from ..ops.losses import segmentation_loss
 from ..utils.rundir import RunPaths, dump_config
 from . import common

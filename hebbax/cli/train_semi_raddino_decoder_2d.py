@@ -15,7 +15,6 @@ import jax.numpy as jnp
 import optax
 
 from ..config.datasets import dataset_cfg
-from ..engine.loop import SupTrainer
 from ..engine.semi import SemiTrainer
 from ..engine.state import TrainState
 from ..models.raddino import (RadDinoDecoder, ViTEncoder,

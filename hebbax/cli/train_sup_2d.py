@@ -4,8 +4,6 @@ CLI + behavior parity: /root/reference/train_sup_2d.py (369 LoC loop,
 restructured onto the shared jitted-step harness).
 """
 
-import jax
-
 from ..engine.loop import SupTrainer
 from ..engine.state import TrainState
 from ..engine.steps import make_eval_step, make_sup_train_step

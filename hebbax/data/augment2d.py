@@ -18,7 +18,7 @@ These run on CPU worker threads; determinism comes from a
 ``np.random.Generator`` seeded per (seed, epoch, index).
 """
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import cv2
 import numpy as np

@@ -11,7 +11,7 @@ accelerator.  Sharded device placement happens in the train loop
 import concurrent.futures
 import queue
 import threading
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

@@ -11,10 +11,8 @@ logit hoarding; utils.py:242-267 is replaced by the streaming sweep).
 """
 
 import time
-from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..ops.metrics import make_accumulator

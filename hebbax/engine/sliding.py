@@ -11,7 +11,6 @@ scatter-add of logits + hit counts, then divide.
 import math
 from typing import Callable, Sequence, Tuple
 
-import jax
 import numpy as np
 
 

@@ -7,10 +7,9 @@ buffers — the TPU-native replacement for the reference's stateful
 ``model.train(); loss.backward(); optimizer.step()`` protocol.
 """
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.struct
-import jax
 
 
 @flax.struct.dataclass

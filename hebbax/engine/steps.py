@@ -10,7 +10,6 @@ combinators; semi-supervised algorithms plug in an ``unsup_loss``
 callable rather than copying the loop.
 """
 
-import functools
 from typing import Callable, Optional
 
 import jax

@@ -15,8 +15,6 @@ patch-token grid.  Here:
   (train_semi_raddino_decoder_2d.py:194-207).
 """
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,7 +17,7 @@ TPU-native: channels-last, every conv is an HConv (optionally Hebbian via
 a static HebbSpec — no module surgery), static shapes, jit-safe.
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ Schedules follow lucidrains: 'linear' (scaled 1e-4..2e-2), 'cosine',
 
 import dataclasses
 import math
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

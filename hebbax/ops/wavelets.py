@@ -12,7 +12,6 @@ numerically-derived filter — is not embedded; requesting it raises with
 a pointer to supply the table.)
 """
 
-import itertools
 import math
 
 import numpy as np

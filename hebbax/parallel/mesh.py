@@ -8,7 +8,7 @@ XLA inserts the psum all-reduces during jit; there is no hand-written
 collective layer (SURVEY.md section 2.6).
 """
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
