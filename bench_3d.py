@@ -62,13 +62,17 @@ def main():
                       "unit": "patches/s (bs=1, 96x96x80)",
                       "vs_baseline": None}))
 
-    # sliding-window inference
+    # sliding-window inference — the train step donated the original
+    # variables, so rebuild them from the final train state
     bs = 4
+    inf_vars = {"params": state.params}
+    if state.batch_stats is not None:
+        inf_vars["batch_stats"] = state.batch_stats
 
     @jax.jit
     def forward(patches):
         return primary_logits(
-            "unet3d", model.apply(variables, patches, train=False))
+            "unet3d", model.apply(inf_vars, patches, train=False))
 
     vol = np.random.RandomState(2).rand(*VOL_SHAPE).astype(np.float32)
     n_patches = len(grid_locations(VOL_SHAPE, PATCH, OVERLAP))

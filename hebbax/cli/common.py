@@ -52,6 +52,8 @@ def base_parser_2d(defaults=None):
                    help="data-parallel devices (0 = all local devices)")
     p.add_argument("--profile_dir", default=None, type=str,
                    help="capture a jax.profiler trace of epoch 1 here")
+    p.add_argument("--dtype", default="float32", type=str,
+                   help="model compute dtype: float32 | bfloat16 (params stay f32)")
     p.add_argument("--resume", default=False,
                    help="write/consume a full resume checkpoint "
                         "(optimizer + epoch state; reference has none)")
@@ -115,7 +117,8 @@ def build_model_2d(args, cfg, load_hebbian=None, load_weights=None,
         hebb = hebbian_finetune_spec(meta)
 
     model = get_network(args.network, in_ch, n_cls,
-                        init_type=args.init_weights, hebb=hebb)
+                        init_type=args.init_weights, hebb=hebb,
+                        dtype=model_dtype(args))
     variables = model.init(rngs, sample, train=False)
 
     if load_hebbian:
@@ -155,3 +158,13 @@ def prep_batch(batch):
     if "mask" in batch:
         out["mask"] = jnp.asarray(batch["mask"])
     return out
+
+
+def model_dtype(args):
+    """Resolve --dtype to a jnp dtype (None keeps f32 defaults)."""
+    name = getattr(args, "dtype", "float32")
+    if name in (None, "float32", "f32"):
+        return None
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise ValueError(f"unsupported dtype {name!r}")

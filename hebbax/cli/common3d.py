@@ -48,6 +48,8 @@ def base_parser_3d(defaults=None):
                    help="data-parallel devices (0 = all local devices)")
     p.add_argument("--profile_dir", default=None, type=str,
                    help="capture a jax.profiler trace of epoch 1 here")
+    p.add_argument("--dtype", default="float32", type=str,
+                   help="model compute dtype: float32 | bfloat16 (params stay f32)")
     p.add_argument("--resume", default=False,
                    help="write/consume a full resume checkpoint "
                         "(optimizer + epoch state; reference has none)")
@@ -101,7 +103,8 @@ def build_model_3d(args, cfg, load_hebbian=None, load_weights=None):
         _, meta = load_snapshot(load_hebbian)
         hebb = hebbian_finetune_spec(meta)
     model = get_network(args.network, in_ch, n_cls,
-                        init_type=args.init_weights, hebb=hebb)
+                        init_type=args.init_weights, hebb=hebb,
+                        dtype=common.model_dtype(args))
     variables = model.init(rngs, sample, train=False)
     if load_hebbian:
         loaded, _ = load_snapshot(load_hebbian)
