@@ -108,6 +108,7 @@ class HConv(nn.Module):
         if spec is not None and spec.w_nrm:
             w = rules.normalize(w, rules.weight_norm_axes(nd, self.transpose))
         w = w.astype(dtype)
+        x = x.astype(dtype)
 
         if any(pad):
             cfg = [(0, 0)] + [(p, p) for p in pad] + [(0, 0)]
