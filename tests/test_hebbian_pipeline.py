@@ -26,6 +26,26 @@ def tiny_dataset(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.parametrize("mode", ["hpca", "contrastive"])
+def test_hebbian_pretrain_other_modes(mode, tiny_dataset, tmp_path):
+    """The non-default rules also run through the full CLI pipeline."""
+    from hebbax.cli.common import base_parser_2d
+    from hebbax.cli import pretrain_hebbian_unsup_2d as pre
+
+    args = pre.add_args(base_parser_2d()).parse_args([
+        "--path_dataset", tiny_dataset, "--dataset_name", "GlaS",
+        "--path_root_exp", str(tmp_path / "runs"),
+        "--batch_size", "3", "--num_epochs", "1", "--validate_iter", "1",
+        "--lr", "1e-5", "--num_workers", "2",
+        "--exclude", "out_conv", "--hebb_mode", mode,
+    ])
+    trainer = pre.build(args)
+    for ld in trainer.loaders.values():
+        ld.dataset.size = (32, 32)
+    best = trainer.run()
+    assert 0.0 <= best[1] <= 1.0
+
+
 def test_hebbian_pretrain_then_finetune(tiny_dataset, tmp_path):
     from hebbax.cli.common import base_parser_2d
     from hebbax.cli import pretrain_hebbian_unsup_2d as pre
