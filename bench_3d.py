@@ -39,28 +39,34 @@ def main():
         0, 2, (1,) + PATCH), jnp.int32)
     variables = model.init(rngs, img, train=False)
 
-    # train step
+    # train step (skip with BENCH3D_SKIP_TRAIN=1 — each compile costs
+    # minutes through the axon tunnel, so run the two metrics separately)
+    skip_train = bool(os.environ.get("BENCH3D_SKIP_TRAIN"))
     tx = optax.sgd(0.1, momentum=0.9)
     state = TrainState(params=variables["params"],
                        batch_stats=variables.get("batch_stats"),
                        opt_state=tx.init(variables["params"]), step=0)
     criterion = segmentation_loss("dice", False, num_classes=2)
-    step = make_sup_train_step(model, "unet3d", criterion, tx)
-    batch = {"image": img, "mask": msk}
-    key = jax.random.PRNGKey(2)
-    for _ in range(3):
-        state, out = step(state, batch, key)
-    jax.block_until_ready(out["loss"])
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, out = step(state, batch, key)
-    jax.block_until_ready(out["loss"])
-    dt = (time.perf_counter() - t0) / iters
-    print(json.dumps({"metric": "atrial3d_unet3d_train_patches_per_sec",
-                      "value": round(1 / dt, 2),
-                      "unit": "patches/s (bs=1, 96x96x80)",
-                      "vs_baseline": None}))
+    if not skip_train:
+        step = make_sup_train_step(model, "unet3d", criterion, tx)
+        batch = {"image": img, "mask": msk}
+        key = jax.random.PRNGKey(2)
+        for _ in range(3):
+            state, out = step(state, batch, key)
+        jax.block_until_ready(out["loss"])
+        iters = 20
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, out = step(state, batch, key)
+        jax.block_until_ready(out["loss"])
+        dt = (time.perf_counter() - t0) / iters
+        print(json.dumps(
+            {"metric": "atrial3d_unet3d_train_patches_per_sec",
+             "value": round(1 / dt, 2),
+             "unit": "patches/s (bs=1, 96x96x80)",
+             "vs_baseline": None}), flush=True)
+    if os.environ.get("BENCH3D_SKIP_INFER"):
+        return
 
     # sliding-window inference — the train step donated the original
     # variables, so rebuild them from the final train state

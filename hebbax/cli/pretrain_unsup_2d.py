@@ -226,14 +226,16 @@ def build(args, kind):
         paths=paths, args=args, palette=cfg["PALETTE"])
 
     if kind == "superpix":
+        import zlib
         seed = args.seed
 
         def prep(batch):
             b = common.prep_batch(batch)
+            # deterministic per-batch seed (python hash() is salted)
+            digest = zlib.crc32(np.asarray(
+                batch["image"], np.float32)[0, :4, :4].tobytes())
             rng = np.random.default_rng(
-                abs(hash((seed, bytes(np.asarray(
-                    batch["image"], np.float32)[0, :4, :4].tobytes())))) %
-                (2 ** 31))
+                np.random.SeedSequence([seed, digest]))
             b["mask_superpix"] = jnp.asarray(
                 superpix_batch(rng, np.asarray(batch["image"])).astype(
                     np.int32))

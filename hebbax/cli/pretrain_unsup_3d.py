@@ -153,14 +153,16 @@ def build(args, kind):
             return out
         trainer.prep = prep
     elif kind == "superpix":
+        import zlib
         seed = args.seed
 
         def prep(batch):
             b = common3d.prep_batch_3d(batch)
+            # deterministic per-batch seed (python hash() is salted)
+            digest = zlib.crc32(np.asarray(
+                batch["image"], np.float32)[0, :2, :2, :2].tobytes())
             rng = np.random.default_rng(
-                abs(hash(bytes(np.asarray(
-                    batch["image"], np.float32)[0, :2, :2, :2].tobytes())))
-                % (2 ** 31) + seed)
+                np.random.SeedSequence([seed, digest]))
             b["mask_superpix"] = jnp.asarray(superpix_batch(
                 rng, np.asarray(batch["image"], np.float32), nd=3).astype(
                     np.int32))
