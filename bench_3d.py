@@ -24,7 +24,8 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    from hebbax.engine.sliding import grid_locations, slide_window_inference
+    from hebbax.engine.sliding import (grid_locations,
+                                       slide_window_inference_device)
     from hebbax.engine.state import TrainState
     from hebbax.engine.steps import make_sup_train_step
     from hebbax.models import get_network, primary_logits
@@ -82,13 +83,14 @@ def main():
 
     vol = np.random.RandomState(2).rand(*VOL_SHAPE).astype(np.float32)
     n_patches = len(grid_locations(VOL_SHAPE, PATCH, OVERLAP))
-    # warm up the compile
-    slide_window_inference(forward, vol, PATCH, OVERLAP, 2, batch_size=bs)
+    # warm up the compile (device-resident slider: one dispatch/volume)
+    slide_window_inference_device(forward, vol, PATCH, OVERLAP, 2,
+                                  batch_size=bs)
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        slide_window_inference(forward, vol, PATCH, OVERLAP, 2,
-                               batch_size=bs)
+        slide_window_inference_device(forward, vol, PATCH, OVERLAP, 2,
+                                      batch_size=bs)
     dt = (time.perf_counter() - t0) / reps
     print(json.dumps({"metric": "atrial3d_sliding_window_volumes_per_sec",
                       "value": round(1 / dt, 3),

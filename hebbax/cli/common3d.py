@@ -12,7 +12,7 @@ from ..data.volumes3d import PatchQueue, VolumeDataset3D
 from ..models import get_network
 from ..utils.checkpoint import load_snapshot
 from ..utils.seeding import init_seeds
-from .common import hebbian_finetune_spec, reinit_excluded
+from .common import hebbian_finetune_spec, model_dtype, reinit_excluded
 
 
 def base_parser_3d(defaults=None):
@@ -104,7 +104,7 @@ def build_model_3d(args, cfg, load_hebbian=None, load_weights=None):
         hebb = hebbian_finetune_spec(meta)
     model = get_network(args.network, in_ch, n_cls,
                         init_type=args.init_weights, hebb=hebb,
-                        dtype=common.model_dtype(args))
+                        dtype=model_dtype(args))
     variables = model.init(rngs, sample, train=False)
     if load_hebbian:
         loaded, _ = load_snapshot(load_hebbian)

@@ -18,7 +18,8 @@ import numpy as np
 from ..config.datasets import dataset_cfg
 from ..data.nrrd_io import read_nrrd, write_nrrd
 from ..data.volumes3d import VolumeDataset3D
-from ..engine.sliding import slide_window_inference
+from ..engine.sliding import (slide_window_inference,
+                              slide_window_inference_device)
 from ..hebb.spec import HebbSpec
 from ..models import get_network, primary_logits
 from ..ops.distance import eval_distance_offline
@@ -140,10 +141,15 @@ def run_test(args):
     printer.rule("=")
     since = time.time()
     from ..data.augment3d import znormalize
+    # device-resident slider (one dispatch per volume) unless patch
+    # batches are sharded across devices (then host aggregation composes
+    # with the sharded forward)
+    slider = (slide_window_inference if dp != 1
+              else slide_window_inference_device)
     for i in range(len(ds)):
         item = ds.load_raw(i)
         vol = znormalize(item["image"], cfg.get("NORMALIZE", "mean"))
-        logits = slide_window_inference(
+        logits = slider(
             forward, vol, patch_size, overlap, n_cls,
             batch_size=args.batch_size)
         if n_cls == 2:

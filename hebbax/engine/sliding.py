@@ -36,6 +36,96 @@ def grid_locations(vol_shape: Sequence[int], patch_size: Sequence[int],
     return grid
 
 
+def make_device_slider(forward: Callable, vol_shape: Tuple[int, int, int],
+                       patch_size: Tuple[int, int, int],
+                       overlap: Tuple[int, int, int], n_cls: int,
+                       batch_size: int = 4):
+    """Fully device-resident sliding window: the whole patch loop runs
+    inside ONE jitted function (lax.scan over patch batches, dynamic-slice
+    gather, read-modify-write scatter-add), so a volume costs a single
+    dispatch + a single result fetch.  The static hit-count map is folded
+    in as a constant.
+
+    Returns run(vol: (X,Y,Z) f32) -> (X,Y,Z,C) overlap-averaged logits.
+    vol must already be padded to at least patch_size per dim.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    locs = grid_locations(vol_shape, patch_size, overlap)
+    n = len(locs)
+    pad = (-n) % batch_size
+    loc_arr = np.array(locs + [(0, 0, 0)] * pad, np.int32)
+    valid = np.concatenate([np.ones(n, np.float32),
+                            np.zeros(pad, np.float32)])
+    loc_batches = loc_arr.reshape(-1, batch_size, 3)
+    valid_batches = valid.reshape(-1, batch_size)
+
+    hits = np.zeros(vol_shape, np.float32)
+    for x, y, z in locs:
+        hits[x:x + patch_size[0], y:y + patch_size[1],
+             z:z + patch_size[2]] += 1.0
+    inv_hits = (1.0 / np.maximum(hits, 1.0)).astype(np.float32)
+
+    @jax.jit
+    def run(vol):
+        vol = vol.astype(jnp.float32)
+
+        def gather(loc):
+            return lax.dynamic_slice(vol, loc, patch_size)
+
+        def body(acc, inp):
+            locs_b, valid_b = inp
+            patches = jax.vmap(gather)(locs_b)
+            out = forward(patches[..., None])
+            out = out * valid_b[:, None, None, None, None]
+
+            def scatter_one(a, j):
+                loc = locs_b[j]
+                idx = jnp.concatenate([loc, jnp.zeros((1,), jnp.int32)])
+                cur = lax.dynamic_slice(a, idx, patch_size + (n_cls,))
+                return lax.dynamic_update_slice(a, cur + out[j], idx), None
+
+            acc, _ = lax.scan(scatter_one, acc,
+                              jnp.arange(locs_b.shape[0]))
+            return acc, None
+
+        acc = jnp.zeros(vol_shape + (n_cls,), jnp.float32)
+        acc, _ = lax.scan(body, acc,
+                          (jnp.asarray(loc_batches),
+                           jnp.asarray(valid_batches)))
+        return acc * jnp.asarray(inv_hits)[..., None]
+
+    return run
+
+
+_SLIDER_CACHE = {}
+
+
+def slide_window_inference_device(forward: Callable, volume: np.ndarray,
+                                  patch_size, overlap, n_cls: int,
+                                  batch_size: int = 4) -> np.ndarray:
+    """Device-resident variant of slide_window_inference (same result).
+    Compiled sliders are cached per (forward, volume shape, grid config)
+    so repeated volumes of one shape compile once."""
+    vol = np.asarray(volume, np.float32)
+    pad = [max(0, p - s) for s, p in zip(vol.shape, patch_size)]
+    if any(pad):
+        vol = np.pad(vol, [(0, p) for p in pad])
+    key = (id(forward), vol.shape, tuple(patch_size), tuple(overlap),
+           n_cls, batch_size)
+    run = _SLIDER_CACHE.get(key)
+    if run is None:
+        run = make_device_slider(forward, vol.shape, tuple(patch_size),
+                                 tuple(overlap), n_cls, batch_size)
+        _SLIDER_CACHE[key] = run
+    agg = np.asarray(run(vol))
+    if any(pad):
+        agg = agg[: volume.shape[0], : volume.shape[1], : volume.shape[2]]
+    return agg
+
+
 def slide_window_inference(forward: Callable, volume: np.ndarray,
                            patch_size: Tuple[int, int, int],
                            overlap: Tuple[int, int, int],
