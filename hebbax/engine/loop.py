@@ -200,8 +200,17 @@ class SupTrainer:
                 p.epoch_loss(train_loss, train=True)
                 ev = acc.finalize()
                 p.eval_list(self.num_classes, ev, train=True)
-                self.writer.add_scalar("train/segm_loss", train_loss,
-                                       epoch + 1)
+                losses = getattr(self, "_epoch_losses", None)
+                if losses:  # semi trainers: sup/unsup/total sinks
+                    self.writer.add_scalar("train/segm_loss",
+                                           losses["loss_sup"], epoch + 1)
+                    self.writer.add_scalar("train/unsup_loss",
+                                           losses["loss_unsup"], epoch + 1)
+                    self.writer.add_scalar("train/total_loss",
+                                           losses["loss"], epoch + 1)
+                else:
+                    self.writer.add_scalar("train/segm_loss", train_loss,
+                                           epoch + 1)
                 self.writer.add_scalar("train/JI", ev[1], epoch + 1)
                 self.writer.add_scalar("train/DC", ev[2], epoch + 1)
                 self.train_log.append(epoch=epoch + 1, loss=train_loss,
