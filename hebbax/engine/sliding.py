@@ -68,18 +68,20 @@ def make_device_slider(forward: Callable, vol_shape: Tuple[int, int, int],
              z:z + patch_size[2]] += 1.0
     inv_hits = (1.0 / np.maximum(hits, 1.0)).astype(np.float32)
 
+    # grid arrays are passed as ARGUMENTS, not closure constants —
+    # embedded multi-MB constants blow remote-compile request limits
     @jax.jit
-    def run(vol):
+    def run_impl(vol, loc_b, valid_b, inv_h):
         vol = vol.astype(jnp.float32)
 
         def gather(loc):
             return lax.dynamic_slice(vol, loc, patch_size)
 
         def body(acc, inp):
-            locs_b, valid_b = inp
+            locs_b, vb = inp
             patches = jax.vmap(gather)(locs_b)
             out = forward(patches[..., None])
-            out = out * valid_b[:, None, None, None, None]
+            out = out * vb[:, None, None, None, None]
 
             def scatter_one(a, j):
                 loc = locs_b[j]
@@ -92,10 +94,15 @@ def make_device_slider(forward: Callable, vol_shape: Tuple[int, int, int],
             return acc, None
 
         acc = jnp.zeros(vol_shape + (n_cls,), jnp.float32)
-        acc, _ = lax.scan(body, acc,
-                          (jnp.asarray(loc_batches),
-                           jnp.asarray(valid_batches)))
-        return acc * jnp.asarray(inv_hits)[..., None]
+        acc, _ = lax.scan(body, acc, (loc_b, valid_b))
+        return acc * inv_h[..., None]
+
+    loc_b_dev = jnp.asarray(loc_batches)
+    valid_b_dev = jnp.asarray(valid_batches)
+    inv_h_dev = jnp.asarray(inv_hits)
+
+    def run(vol):
+        return run_impl(vol, loc_b_dev, valid_b_dev, inv_h_dev)
 
     return run
 
