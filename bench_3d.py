@@ -70,27 +70,28 @@ def main():
         return
 
     # sliding-window inference — the train step donated the original
-    # variables, so rebuild them from the final train state
+    # variables, so rebuild them from the final train state; variables
+    # are threaded as slider args (not closure constants)
     bs = 4
     inf_vars = {"params": state.params}
     if state.batch_stats is not None:
         inf_vars["batch_stats"] = state.batch_stats
 
-    @jax.jit
-    def forward(patches):
+    def forward(patches, vs):
         return primary_logits(
-            "unet3d", model.apply(inf_vars, patches, train=False))
+            "unet3d", model.apply(vs, patches, train=False))
 
     vol = np.random.RandomState(2).rand(*VOL_SHAPE).astype(np.float32)
     n_patches = len(grid_locations(VOL_SHAPE, PATCH, OVERLAP))
     # warm up the compile (device-resident slider: one dispatch/volume)
     slide_window_inference_device(forward, vol, PATCH, OVERLAP, 2,
-                                  batch_size=bs)
+                                  batch_size=bs, fwd_args=(inf_vars,))
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
         slide_window_inference_device(forward, vol, PATCH, OVERLAP, 2,
-                                      batch_size=bs)
+                                      batch_size=bs,
+                                      fwd_args=(inf_vars,))
     dt = (time.perf_counter() - t0) / reps
     print(json.dumps({"metric": "atrial3d_sliding_window_volumes_per_sec",
                       "value": round(1 / dt, 3),

@@ -110,9 +110,10 @@ def run_test(args):
     n_cls = cfg["NUM_CLASSES"]
     model = get_network(args.network, cfg["IN_CHANNELS"], n_cls, hebb=hebb)
 
-    @jax.jit
-    def _apply(patches):
-        out = model.apply(variables, patches, train=False)
+    # variables are threaded as an argument (never a closure constant —
+    # large inlined constants break remote-compile request limits)
+    def apply_fn(patches, vs):
+        out = model.apply(vs, patches, train=False)
         return primary_logits(args.network, out)
 
     dp = args.dp_devices
@@ -122,12 +123,13 @@ def run_test(args):
         sharding = batch_sharding(mesh)
         rep = replicated(mesh)
         variables = jax.device_put(variables, rep)
+        _apply = jax.jit(apply_fn)
 
         def forward(patches):
             return _apply(jax.device_put(jax.numpy.asarray(patches),
-                                         sharding))
+                                         sharding), variables)
     else:
-        forward = _apply
+        forward = apply_fn
 
     ds = VolumeDataset3D(
         os.path.join(args.path_dataset, "val"), args.input1, split="test",
@@ -149,9 +151,13 @@ def run_test(args):
     for i in range(len(ds)):
         item = ds.load_raw(i)
         vol = znormalize(item["image"], cfg.get("NORMALIZE", "mean"))
-        logits = slider(
-            forward, vol, patch_size, overlap, n_cls,
-            batch_size=args.batch_size)
+        if dp != 1:
+            logits = slider(forward, vol, patch_size, overlap, n_cls,
+                            batch_size=args.batch_size)
+        else:
+            logits = slider(forward, vol, patch_size, overlap, n_cls,
+                            batch_size=args.batch_size,
+                            fwd_args=(variables,))
         if n_cls == 2:
             probs = np.asarray(jax.nn.softmax(jnp.asarray(logits),
                                               axis=-1))[..., 1]

@@ -46,8 +46,12 @@ def make_device_slider(forward: Callable, vol_shape: Tuple[int, int, int],
     dispatch + a single result fetch.  The static hit-count map is folded
     in as a constant.
 
-    Returns run(vol: (X,Y,Z) f32) -> (X,Y,Z,C) overlap-averaged logits.
-    vol must already be padded to at least patch_size per dim.
+    Returns run(vol: (X,Y,Z) f32, *fwd_args) -> (X,Y,Z,C)
+    overlap-averaged logits; vol must already be padded to at least
+    patch_size per dim.  ``forward(patches, *fwd_args)`` — thread model
+    variables through fwd_args rather than closing over them (closure
+    constants inline multi-hundred-MB params into the program, which
+    breaks remote-compile size limits).
     """
     import jax
     import jax.numpy as jnp
@@ -71,7 +75,7 @@ def make_device_slider(forward: Callable, vol_shape: Tuple[int, int, int],
     # grid arrays are passed as ARGUMENTS, not closure constants —
     # embedded multi-MB constants blow remote-compile request limits
     @jax.jit
-    def run_impl(vol, loc_b, valid_b, inv_h):
+    def run_impl(vol, loc_b, valid_b, inv_h, *fwd_args):
         vol = vol.astype(jnp.float32)
 
         def gather(loc):
@@ -80,7 +84,7 @@ def make_device_slider(forward: Callable, vol_shape: Tuple[int, int, int],
         def body(acc, inp):
             locs_b, vb = inp
             patches = jax.vmap(gather)(locs_b)
-            out = forward(patches[..., None])
+            out = forward(patches[..., None], *fwd_args)
             out = out * vb[:, None, None, None, None]
 
             def scatter_one(a, j):
@@ -101,8 +105,8 @@ def make_device_slider(forward: Callable, vol_shape: Tuple[int, int, int],
     valid_b_dev = jnp.asarray(valid_batches)
     inv_h_dev = jnp.asarray(inv_hits)
 
-    def run(vol):
-        return run_impl(vol, loc_b_dev, valid_b_dev, inv_h_dev)
+    def run(vol, *fwd_args):
+        return run_impl(vol, loc_b_dev, valid_b_dev, inv_h_dev, *fwd_args)
 
     return run
 
@@ -112,10 +116,12 @@ _SLIDER_CACHE = {}
 
 def slide_window_inference_device(forward: Callable, volume: np.ndarray,
                                   patch_size, overlap, n_cls: int,
-                                  batch_size: int = 4) -> np.ndarray:
+                                  batch_size: int = 4,
+                                  fwd_args=()) -> np.ndarray:
     """Device-resident variant of slide_window_inference (same result).
     Compiled sliders are cached per (forward, volume shape, grid config)
-    so repeated volumes of one shape compile once."""
+    so repeated volumes of one shape compile once.  Pass model variables
+    via fwd_args (forward(patches, *fwd_args)) — see make_device_slider."""
     vol = np.asarray(volume, np.float32)
     pad = [max(0, p - s) for s, p in zip(vol.shape, patch_size)]
     if any(pad):
@@ -127,7 +133,7 @@ def slide_window_inference_device(forward: Callable, volume: np.ndarray,
         run = make_device_slider(forward, vol.shape, tuple(patch_size),
                                  tuple(overlap), n_cls, batch_size)
         _SLIDER_CACHE[key] = run
-    agg = np.asarray(run(vol))
+    agg = np.asarray(run(vol, *fwd_args))
     if any(pad):
         agg = agg[: volume.shape[0], : volume.shape[1], : volume.shape[2]]
     return agg
