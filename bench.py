@@ -19,6 +19,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 SIZE = int(os.environ.get("BENCH_SIZE", "128"))
 WARMUP = 3
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+DTYPE = os.environ.get("BENCH_DTYPE", "float32")  # float32 | bfloat16
 
 
 def bench_hebbax():
@@ -31,7 +32,8 @@ def bench_hebbax():
     from hebbax.models import get_network
     from hebbax.ops.losses import segmentation_loss
 
-    model = get_network("unet", 3, 2)
+    dtype = jnp.bfloat16 if DTYPE in ("bfloat16", "bf16") else None
+    model = get_network("unet", 3, 2, dtype=dtype)
     rngs = {"params": jax.random.PRNGKey(0),
             "dropout": jax.random.PRNGKey(1)}
     images = jnp.asarray(
