@@ -41,8 +41,9 @@ except Exception:  # pragma: no cover
 
 
 def _swta_kernel(k_temp, kh, kw, chunk, x_ref, y_ref, pos_ref, rsum_ref):
-    """x_ref: (1, I, Hp, Wp); y_ref: (1, O, H, W);
-    pos_ref: (kh*kw*I, O); rsum_ref: (1, O)."""
+    """x_ref: (I, Hp, Wp) one sample channel-first; y_ref: (O, H, W);
+    pos_ref: (kh*kw*I, O); rsum_ref: (1, O).  3D blocks — Mosaic's
+    dynamic vector loads fail on 4D refs."""
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -50,18 +51,18 @@ def _swta_kernel(k_temp, kh, kw, chunk, x_ref, y_ref, pos_ref, rsum_ref):
         pos_ref[:] = jnp.zeros_like(pos_ref)
         rsum_ref[:] = jnp.zeros_like(rsum_ref)
 
-    o, h, w = y_ref.shape[1], y_ref.shape[2], y_ref.shape[3]
-    i = x_ref.shape[1]
+    o, h, w = y_ref.shape
+    i = x_ref.shape[0]
 
     def body(c, _):
         row = c * chunk
-        y = y_ref[0, :, pl.ds(row, chunk), :]          # (O, chunk, W)
+        y = y_ref[:, pl.ds(row, chunk), :]             # (O, chunk, W)
         r = jax.nn.softmax(k_temp * y, axis=0)
         r2 = r.reshape(o, chunk * w)
         rsum_ref[:] += jnp.sum(r2, axis=1)[None, :]
         for di in range(kh):
             for dj in range(kw):
-                xs = x_ref[0, :, pl.ds(row + di, chunk),
+                xs = x_ref[:, pl.ds(row + di, chunk),
                            dj: dj + w].reshape(i, chunk * w)
                 acc = lax.dot_general(
                     xs, r2, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -73,28 +74,32 @@ def _swta_kernel(k_temp, kh, kw, chunk, x_ref, y_ref, pos_ref, rsum_ref):
     lax.fori_loop(0, h // chunk, body, 0)
 
 
-def swta_delta_pallas(w, x, y, k_temp):
+def swta_delta_pallas(w, x, y, k_temp, interpret=False):
     """Fused SWTA delta for 2D stride-1 convs.
 
     w: (kh, kw, I, O); x: (N, H+kh-1, W+kw-1, I) pre-padded channels-last
     input; y: (N, H, W, O) pre-activation.  Returns delta in w's shape.
+    interpret=True runs the Pallas interpreter (CPU testing).
     """
     kh, kw, i, o = w.shape
     n, h, wd, _ = y.shape
     chunk = 16
     while h % chunk:
         chunk //= 2
-    x_cf = jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.float32)
-    y_cf = jnp.transpose(y, (0, 3, 1, 2)).astype(jnp.float32)
+    # (N, I, Hp, Wp) folded to (N*I, Hp, Wp): Mosaic handles 3D blocks
+    x_cf = jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.float32).reshape(
+        n * i, h + kh - 1, wd + kw - 1)
+    y_cf = jnp.transpose(y, (0, 3, 1, 2)).astype(jnp.float32).reshape(
+        n * o, h, wd)
     kernel = functools.partial(_swta_kernel, float(k_temp), kh, kw, chunk)
     pos, rsum = pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, i, h + kh - 1, wd + kw - 1),
-                         lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((i, h + kh - 1, wd + kw - 1),
+                         lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, o, h, wd), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((o, h, wd), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -107,6 +112,7 @@ def swta_delta_pallas(w, x, y, k_temp):
             jax.ShapeDtypeStruct((kh * kw * i, o), jnp.float32),
             jax.ShapeDtypeStruct((1, o), jnp.float32),
         ],
+        interpret=interpret,
     )(x_cf, y_cf)
     pos = pos.reshape(kh, kw, i, o)
     return pos - rsum[0] * w

@@ -16,26 +16,7 @@ pl = pytest.importorskip("jax.experimental.pallas")
 
 
 def _swta_interp(w, x, y, k_temp, chunk=2):
-    kh, kw, i, o = w.shape
-    n, h, wd, _ = y.shape
-    x_cf = jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.float32)
-    y_cf = jnp.transpose(y, (0, 3, 1, 2)).astype(jnp.float32)
-    kernel = functools.partial(pk._swta_kernel, float(k_temp), kh, kw,
-                               chunk)
-    pos, rsum = pl.pallas_call(
-        kernel, grid=(n,),
-        in_specs=[
-            pl.BlockSpec((1, i, h + kh - 1, wd + kw - 1),
-                         lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, o, h, wd), lambda b: (b, 0, 0, 0))],
-        out_specs=[
-            pl.BlockSpec((kh * kw * i, o), lambda b: (0, 0)),
-            pl.BlockSpec((1, o), lambda b: (0, 0))],
-        out_shape=[
-            jax.ShapeDtypeStruct((kh * kw * i, o), jnp.float32),
-            jax.ShapeDtypeStruct((1, o), jnp.float32)],
-        interpret=True)(x_cf, y_cf)
-    return pos.reshape(kh, kw, i, o) - rsum[0] * w
+    return pk.swta_delta_pallas(w, x, y, k_temp, interpret=True)
 
 
 @pytest.mark.parametrize("shape", [(2, 4, 4, 3, 5, 3), (1, 8, 8, 4, 4, 1),
