@@ -55,15 +55,20 @@ def _swta_kernel(k_temp, kh, kw, chunk, x_ref, y_ref, pos_ref, rsum_ref):
     i = x_ref.shape[0]
 
     def body(c, _):
-        row = c * chunk
+        row = pl.multiple_of(c * chunk, chunk)
         y = y_ref[:, pl.ds(row, chunk), :]             # (O, chunk, W)
         r = jax.nn.softmax(k_temp * y, axis=0)
         r2 = r.reshape(o, chunk * w)
         rsum_ref[:] += jnp.sum(r2, axis=1)[None, :]
+        # aligned superset load (row is a chunk multiple; the +di halo is
+        # sliced in-register — Mosaic requires 8-aligned memory offsets)
+        halo = ((kh - 1 + 7) // 8) * 8 if kh > 1 else 0
+        xs_all = x_ref[:, pl.ds(row, chunk + halo), :]  # (I, chunk+halo, Wp)
         for di in range(kh):
             for dj in range(kw):
-                xs = x_ref[:, pl.ds(row + di, chunk),
-                           dj: dj + w].reshape(i, chunk * w)
+                xs = lax.slice(xs_all, (0, di, dj),
+                               (i, di + chunk, dj + w)).reshape(
+                                   i, chunk * w)
                 acc = lax.dot_general(
                     xs, r2, dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)   # (I, O)
@@ -86,9 +91,14 @@ def swta_delta_pallas(w, x, y, k_temp, interpret=False):
     chunk = 16
     while h % chunk:
         chunk //= 2
-    # (N, I, Hp, Wp) folded to (N*I, Hp, Wp): Mosaic handles 3D blocks
-    x_cf = jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.float32).reshape(
-        n * i, h + kh - 1, wd + kw - 1)
+    # (N, I, Hp, Wp) folded to (N*I, Hp, Wp): Mosaic handles 3D blocks.
+    # Rows padded so the kernel's aligned superset loads stay in bounds.
+    halo = ((kh - 1 + 7) // 8) * 8 if kh > 1 else 0
+    x_cf = jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.float32)
+    extra = (h + halo) - (h + kh - 1)
+    if extra > 0:
+        x_cf = jnp.pad(x_cf, [(0, 0), (0, 0), (0, extra), (0, 0)])
+    x_cf = x_cf.reshape(n * i, h + max(halo, kh - 1), wd + kw - 1)
     y_cf = jnp.transpose(y, (0, 3, 1, 2)).astype(jnp.float32).reshape(
         n * o, h, wd)
     kernel = functools.partial(_swta_kernel, float(k_temp), kh, kw, chunk)
@@ -96,7 +106,7 @@ def swta_delta_pallas(w, x, y, k_temp, interpret=False):
         kernel,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((i, h + kh - 1, wd + kw - 1),
+            pl.BlockSpec((i, h + max(halo, kh - 1), wd + kw - 1),
                          lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((o, h, wd), lambda b: (b, 0, 0),
