@@ -17,11 +17,15 @@ the small channel counts of the UNet (16..256) land on the 128-lane axis
 and VMEM tiles pad 8x, blowing the 16M scoped budget; with W on the lane
 axis the padding is negligible.
 
-The kernel covers 2D stride-1 convs (every conv in the 2D zoo).  It is
-OPT-IN via HEBBAX_ENABLE_PALLAS=1: on this hardware XLA's fused
-softmax + weight-grad conv is already near the HBM roofline for these
-layer shapes, and Mosaic compiles cost minutes per shape through the
-remote-TPU tunnel, so the validated XLA path stays the default.
+The kernel covers 2D stride-1 convs (every conv in the 2D zoo) and is ON
+by default on TPU (disable with HEBBAX_DISABLE_PALLAS=1).  Measured on a
+v5e at the UNet's first-layer shape (bs=8, 128^2, 16ch): 0.46 ms vs the
+XLA-composed path's 0.77 ms (1.66x), matching to 3e-6 relative error.
+
+Mosaic constraints honored: 3D channel-first blocks (4D dynamic vector
+loads unsupported; channels-last lane padding blows VMEM 8x), 8-aligned
+sublane offsets via chunk-multiple rows + aligned superset loads with
+in-register halo slicing.
 """
 
 import functools
@@ -141,9 +145,8 @@ def _fits_vmem(w, x, y):
 
 
 def swta_delta(w, x, y, k_temp, strides):
-    """Dispatcher: fused Pallas kernel when enabled and eligible
-    (HEBBAX_ENABLE_PALLAS, TPU, 2D, stride 1, fits VMEM), else the
-    XLA-composed rule."""
+    """Dispatcher: fused Pallas kernel when eligible (TPU, 2D, stride 1,
+    fits VMEM; disable with HEBBAX_DISABLE_PALLAS), else the XLA rule."""
     from . import rules
     if (pallas_available() and w.ndim == 4
             and tuple(strides) == (1, 1) and _fits_vmem(w, x, y)):
@@ -154,7 +157,7 @@ def swta_delta(w, x, y, k_temp, strides):
 
 @functools.lru_cache(maxsize=1)
 def pallas_available() -> bool:
-    if not _PALLAS_OK or not os.environ.get("HEBBAX_ENABLE_PALLAS"):
+    if not _PALLAS_OK or os.environ.get("HEBBAX_DISABLE_PALLAS"):
         return False
     try:
         return jax.devices()[0].platform == "tpu"
