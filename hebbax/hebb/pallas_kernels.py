@@ -146,10 +146,14 @@ def _fits_vmem(w, x, y):
 
 def swta_delta(w, x, y, k_temp, strides):
     """Dispatcher: fused Pallas kernel when eligible (TPU, 2D, stride 1,
-    fits VMEM; disable with HEBBAX_DISABLE_PALLAS), else the XLA rule."""
+    fits VMEM, lane-friendly shape; disable with HEBBAX_DISABLE_PALLAS),
+    else the XLA rule.  The shape gate keeps Mosaic to layouts it has
+    validated (W a lane multiple, H a sublane-chunk multiple) — the
+    full-resolution layers, which dominate the update FLOPs."""
     from . import rules
     if (pallas_available() and w.ndim == 4
-            and tuple(strides) == (1, 1) and _fits_vmem(w, x, y)):
+            and tuple(strides) == (1, 1) and _fits_vmem(w, x, y)
+            and y.shape[2] % 128 == 0 and y.shape[1] % 8 == 0):
         return swta_delta_pallas(w, lax.stop_gradient(x),
                                  lax.stop_gradient(y), k_temp)
     return rules.swta_conv_delta(w, x, y, k_temp, tuple(strides))
