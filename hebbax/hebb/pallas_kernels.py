@@ -17,15 +17,19 @@ the small channel counts of the UNet (16..256) land on the 128-lane axis
 and VMEM tiles pad 8x, blowing the 16M scoped budget; with W on the lane
 axis the padding is negligible.
 
-The kernel covers 2D stride-1 convs (every conv in the 2D zoo) and is ON
-by default on TPU (disable with HEBBAX_DISABLE_PALLAS=1).  Measured on a
-v5e at the UNet's first-layer shape (bs=8, 128^2, 16ch): 0.46 ms vs the
-XLA-composed path's 0.77 ms (1.66x), matching to 3e-6 relative error.
+Status (measured on a v5e): in ISOLATION the kernel beats the XLA path
+1.66x at the UNet's first-layer shape (0.46 vs 0.77 ms, bs=8 128^2 16ch,
+rel err 3e-6).  Inside the FULL pretrain step, however, the
+channels-last -> channel-first transposes it needs add enough HBM
+traffic to flip the sign (2.59 vs 2.25 ms/step end to end), so the
+kernel is OPT-IN via HEBBAX_ENABLE_PALLAS=1 and the XLA-composed rule
+remains the default.  (A channel-first activation layout throughout the
+model would recover the win; future work.)
 
 Mosaic constraints honored: 3D channel-first blocks (4D dynamic vector
 loads unsupported; channels-last lane padding blows VMEM 8x), 8-aligned
 sublane offsets via chunk-multiple rows + aligned superset loads with
-in-register halo slicing.
+in-register halo slicing, shapes gated to lane multiples.
 """
 
 import functools
@@ -161,7 +165,7 @@ def swta_delta(w, x, y, k_temp, strides):
 
 @functools.lru_cache(maxsize=1)
 def pallas_available() -> bool:
-    if not _PALLAS_OK or os.environ.get("HEBBAX_DISABLE_PALLAS"):
+    if not _PALLAS_OK or not os.environ.get("HEBBAX_ENABLE_PALLAS"):
         return False
     try:
         return jax.devices()[0].platform == "tpu"

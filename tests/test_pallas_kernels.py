@@ -33,10 +33,10 @@ def test_swta_kernel_matches_xla_oracle(shape):
                                rtol=1e-5, atol=1e-6)
 
 
-def test_dispatcher_falls_back_on_cpu(monkeypatch):
-    # default-on for TPU; on CPU (this test env) it must fall back
+def test_dispatcher_falls_back_without_optin(monkeypatch):
+    monkeypatch.delenv("HEBBAX_ENABLE_PALLAS", raising=False)
     pk.pallas_available.cache_clear()
-    assert not pk.pallas_available()  # platform is cpu here
+    assert not pk.pallas_available()
     rng = np.random.RandomState(1)
     w = jnp.asarray(rng.randn(3, 3, 2, 4), jnp.float32)
     x = jnp.asarray(rng.randn(1, 6, 6, 2), jnp.float32)
