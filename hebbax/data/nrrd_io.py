@@ -79,8 +79,10 @@ def read_nrrd(path) -> Tuple[np.ndarray, dict]:
     elif enc != "raw":
         raise NotImplementedError(f"NRRD encoding {enc!r}")
     arr = np.frombuffer(blob, dtype=dtype, count=int(np.prod(sizes)))
-    # first axis fastest -> reshape reversed then transpose
-    arr = arr.reshape(sizes[::-1]).transpose(range(len(sizes))[::-1])
+    # first axis fastest -> reshape reversed then transpose; copy to a
+    # writable contiguous array (frombuffer views are read-only)
+    arr = np.ascontiguousarray(
+        arr.reshape(sizes[::-1]).transpose(range(len(sizes))[::-1]))
 
     header = dict(fields)
     dirs = None
