@@ -89,6 +89,11 @@ def run_test(args):
         hebb = HebbSpec.from_dict(
             meta["hebb_params"],
             exclude=meta.get("excluded_layers") or ())
+    elif meta.get("hebb_params") and not args.hebbian_pretrain:
+        print("WARNING: snapshot carries hebb_params but "
+              "--hebbian_pretrain is not set; the weight-normalized "
+              "forward will NOT be applied and metrics will be wrong "
+              "(same footgun as the reference's test_2d.py:105-108)")
     model = get_network(args.network, cfg["IN_CHANNELS"],
                         cfg["NUM_CLASSES"], hebb=hebb)
     needs_rng = bool(network_meta(args.network)["rngs"])

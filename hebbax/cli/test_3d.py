@@ -107,6 +107,10 @@ def run_test(args):
     if args.hebbian_pretrain and meta.get("hebb_params"):
         hebb = HebbSpec.from_dict(meta["hebb_params"],
                                   exclude=meta.get("excluded_layers") or ())
+    elif meta.get("hebb_params") and not args.hebbian_pretrain:
+        print("WARNING: snapshot carries hebb_params but "
+              "--hebbian_pretrain is not set; the weight-normalized "
+              "forward will NOT be applied and metrics will be wrong")
     n_cls = cfg["NUM_CLASSES"]
     model = get_network(args.network, cfg["IN_CHANNELS"], n_cls, hebb=hebb)
 
