@@ -57,6 +57,10 @@ def base_parser_2d(defaults=None):
     p.add_argument("--resume", default=False,
                    help="write/consume a full resume checkpoint "
                         "(optimizer + epoch state; reference has none)")
+    p.add_argument("--device_augment", default=False,
+                   help="run the train augmentation inside the jitted "
+                        "step (same distribution as the host pipeline; "
+                        "removes the host-CPU bottleneck)")
     if defaults:
         p.set_defaults(**defaults)
     return p
@@ -158,6 +162,30 @@ def prep_batch(batch):
     if "mask" in batch:
         out["mask"] = jnp.asarray(batch["mask"])
     return out
+
+
+def wrap_device_augment(train_step):
+    """Compose on-device augmentation with a jitted train step
+    (hebbax.ops.augment_device; key split so augmentation and model rngs
+    stay independent)."""
+    from ..ops.augment_device import augment_batch
+
+    def wrapped(state, batch, key):
+        ka, ks = jax.random.split(key)
+        img, mask = augment_batch(ka, batch["image"], batch["mask"])
+        return train_step(state, {"image": img, "mask": mask}, ks)
+
+    return wrapped
+
+
+def enable_device_augment(trainer, args, train_loader_key="train"):
+    """Switch the train dataset to resize+normalize only and wrap the
+    step with on-device augmentation."""
+    if not args.device_augment:
+        return trainer
+    trainer.loaders[train_loader_key].dataset.host_augment = False
+    trainer.train_step = wrap_device_augment(trainer.train_step)
+    return trainer
 
 
 def model_dtype(args):

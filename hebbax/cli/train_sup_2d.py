@@ -66,6 +66,7 @@ def build(args):
         b = common.prep_batch(batch)
         return b
     trainer.prep = prep
+    common.enable_device_augment(trainer, args)
     return trainer
 
 

@@ -59,7 +59,8 @@ class SegDataset2D:
     def __init__(self, data_dir: str, input1: str, mean, std,
                  split: str = "train", sup: bool = True,
                  regime: float = 100, seed: int = 0,
-                 size: Tuple[int, int] = (128, 128)):
+                 size: Tuple[int, int] = (128, 128),
+                 cache_decoded: bool = True):
         image_dir = os.path.join(data_dir, input1)
         names = regime_split(os.listdir(image_dir), regime, seed, sup)
         self.image_paths = [os.path.join(image_dir, n) for n in names]
@@ -70,14 +71,30 @@ class SegDataset2D:
         self.mean, self.std = mean, std
         self.size = size
         self.seed = seed
+        # host-side decode cache: these datasets are small (hundreds of
+        # PNGs) while a TPU step is sub-millisecond — decoding per epoch
+        # would bottleneck training.  Augmentation stays per-item/epoch.
+        self.cache_decoded = cache_decoded
+        self._cache = {}
+        # False -> items are resize+normalize only; the train augmentation
+        # runs on-device instead (hebbax.ops.augment_device)
+        self.host_augment = True
 
     def __len__(self):
         return len(self.image_paths)
 
-    def get(self, index: int, rng: Optional[np.random.Generator] = None):
+    def _decoded(self, index: int):
+        if self.cache_decoded and index in self._cache:
+            return self._cache[index]
         img = _load_image(self.image_paths[index])
         mask = _load_mask(self.mask_paths[index]) if self.sup else None
-        if self.train:
+        if self.cache_decoded:
+            self._cache[index] = (img, mask)
+        return img, mask
+
+    def get(self, index: int, rng: Optional[np.random.Generator] = None):
+        img, mask = self._decoded(index)
+        if self.train and self.host_augment:
             rng = rng or np.random.default_rng()
             img, mask = augment2d.train_augment(rng, img, mask, self.size)
         else:
