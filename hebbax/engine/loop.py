@@ -113,13 +113,15 @@ class SupTrainer:
 
     def train_epoch(self, epoch, collect_metrics):
         acc = make_accumulator(self.num_classes) if collect_metrics else None
+        # loss accumulates on device; one fetch at epoch end (per-batch
+        # float() would synchronize the accelerator every step)
         total_loss, n_batches = 0.0, 0
         last = None
         for i, batch in enumerate(self.loaders["train"]):
             batch = self.prep(batch)
             self.state, out = self.train_step(
                 self.state, batch, self._key(epoch, i))
-            total_loss += float(out["loss"])
+            total_loss = total_loss + out["loss"]
             n_batches += 1
             if acc is not None:
                 nv = self._n_valid
@@ -128,7 +130,7 @@ class SupTrainer:
                 else:
                     acc.update(out["logits"], batch["mask"])
             last = (out, batch)
-        return total_loss / max(n_batches, 1), acc, last
+        return float(total_loss) / max(n_batches, 1), acc, last
 
     def validate(self, epoch):
         acc = make_accumulator(self.num_classes)
@@ -141,7 +143,7 @@ class SupTrainer:
             out = self.eval_step(variables, batch,
                                  self._key(epoch, i, val=True))
             if "loss" in out:
-                total_loss += float(out["loss"])
+                total_loss = total_loss + out["loss"]
             n_batches += 1
             nv = self._n_valid
             if nv is not None:
@@ -154,7 +156,7 @@ class SupTrainer:
                                         else probs[:nv]))
                 names.extend(ids or [])
         thr, ji, dc = acc.finalize()
-        val_loss = total_loss / max(n_batches, 1)
+        val_loss = float(total_loss) / max(n_batches, 1)
         return val_loss, (thr, ji, dc), preds, names
 
     def prep(self, batch):

@@ -358,7 +358,7 @@ class SemiTrainer(SupTrainer):
             self.state, out = self.call_step(
                 sup_b, unsup_b, w, epoch, self._key(epoch, i))
             for k in totals:
-                totals[k] += float(out[k])
+                totals[k] = totals[k] + out[k]  # device accumulation
             n += 1
             if acc is not None:
                 if nv is not None:
@@ -366,8 +366,8 @@ class SemiTrainer(SupTrainer):
                 else:
                     acc.update(out["logits"], sup_b["mask"])
         n = max(n, 1)
-        self._epoch_losses = {k: v / n for k, v in totals.items()}
-        return totals["loss"] / n, acc, None
+        self._epoch_losses = {k: float(v) / n for k, v in totals.items()}
+        return self._epoch_losses["loss"], acc, None
 
     def call_step(self, sup_b, unsup_b, w, epoch, key):
         return self.train_step(self.state, sup_b, unsup_b,
@@ -396,14 +396,14 @@ class DualEvalMixin:
                                      self._key(epoch, i, val=True))
                 accs[which - 1].update(out["logits"], b["mask"])
                 if which == 1 and "loss" in out:
-                    total_loss += float(out["loss"])
+                    total_loss = total_loss + out["loss"]
             n_batches += 1
         ev1 = accs[0].finalize()
         ev2 = accs[1].finalize()
         self._last_dual_eval = (ev1, ev2)
         ev = ev2 if ev2[1] > ev1[1] else ev1
         self._winner = 2 if ev2[1] > ev1[1] else 1
-        return total_loss / max(n_batches, 1), ev, [], []
+        return float(total_loss) / max(n_batches, 1), ev, [], []
 
     def _save_best(self, threshold, epoch):
         from ..utils.checkpoint import save_snapshot

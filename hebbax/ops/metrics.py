@@ -42,31 +42,37 @@ class SweepAccumulator:
 
     Feed binary-task logits (N, ..., 2) channels-last; finalize() returns
     (best_threshold, jaccard, dice) with the argmax-Jaccard selection rule.
+
+    Counters stay ON DEVICE across updates (lazy jnp accumulation) — the
+    single host transfer happens at finalize(), so per-batch metric
+    updates never synchronize the accelerator.
     """
 
     def __init__(self):
-        self.tp = np.zeros(len(THRESHOLDS), np.float64)
-        self.union = np.zeros(len(THRESHOLDS), np.float64)
+        self.tp = jnp.zeros(len(THRESHOLDS), jnp.float32)
+        self.union = jnp.zeros(len(THRESHOLDS), jnp.float32)
 
     def update(self, logits, target):
         probs = jax.nn.softmax(logits, axis=-1)[..., 1]
         tp, union = _sweep_counts(probs, target)
-        self.tp += np.asarray(tp, np.float64)
-        self.union += np.asarray(union, np.float64)
+        self.tp = self.tp + tp
+        self.union = self.union + union
         return self
 
     def update_probs(self, probs_fg, target):
         tp, union = _sweep_counts(jnp.asarray(probs_fg), jnp.asarray(target))
-        self.tp += np.asarray(tp, np.float64)
-        self.union += np.asarray(union, np.float64)
+        self.tp = self.tp + tp
+        self.union = self.union + union
         return self
 
     def finalize(self):
+        tp = np.asarray(self.tp, np.float64)
+        union = np.asarray(self.union, np.float64)
         # 0/0 (empty mask + empty preds) degrades to 0.0 rather than the
         # reference's ZeroDivisionError (utils.py:260).
         with np.errstate(invalid="ignore", divide="ignore"):
-            jaccard = np.nan_to_num(self.tp / (self.union + self.tp))
-            dice = np.nan_to_num(2 * self.tp / (self.union + 2 * self.tp))
+            jaccard = np.nan_to_num(tp / (union + tp))
+            dice = np.nan_to_num(2 * tp / (union + 2 * tp))
         idx = int(np.argmax(jaccard))
         return float(THRESHOLDS[idx]), float(jaccard[idx]), float(dice[idx])
 
@@ -83,19 +89,19 @@ class ConfusionAccumulator:
 
     def __init__(self, num_classes):
         self.num_classes = num_classes
-        self.hist = np.zeros((num_classes, num_classes), np.float64)
+        self.hist = jnp.zeros(num_classes * num_classes, jnp.float32)
 
     def update(self, logits, target):
         pred = jnp.argmax(logits, axis=-1)
         counts = _confusion_counts(pred.astype(jnp.int32),
                                    jnp.asarray(target, jnp.int32),
                                    jnp.zeros((self.num_classes,)))
-        self.hist += np.asarray(counts, np.float64).reshape(
-            self.num_classes, self.num_classes)
+        self.hist = self.hist + counts
         return self
 
     def finalize(self):
-        hist = self.hist
+        hist = np.asarray(self.hist, np.float64).reshape(
+            self.num_classes, self.num_classes)
         diag = np.diag(hist)
         s0 = hist.sum(axis=0)
         s1 = hist.sum(axis=1)
