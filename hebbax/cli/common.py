@@ -178,13 +178,36 @@ def wrap_device_augment(train_step):
     return wrapped
 
 
+def wrap_device_augment_semi(train_step, uamt=False):
+    """Semi-step variant: augments both the labeled and unlabeled batch
+    (the unlabeled one has no mask; a dummy mask rides along)."""
+    from ..ops.augment_device import augment_batch
+
+    def wrapped(state, sup_batch, unsup_batch, w, *rest):
+        key = rest[-1]
+        ka, kb, ks = jax.random.split(key, 3)
+        img_s, mask_s = augment_batch(ka, sup_batch["image"],
+                                      sup_batch["mask"])
+        dummy = jnp.zeros(unsup_batch["image"].shape[:-1], jnp.int32)
+        img_u, _ = augment_batch(kb, unsup_batch["image"], dummy)
+        return train_step(state, {"image": img_s, "mask": mask_s},
+                          {"image": img_u}, w, *rest[:-1], ks)
+
+    return wrapped
+
+
 def enable_device_augment(trainer, args, train_loader_key="train"):
-    """Switch the train dataset to resize+normalize only and wrap the
+    """Switch the train dataset(s) to resize+normalize only and wrap the
     step with on-device augmentation."""
-    if not args.device_augment:
+    if not getattr(args, "device_augment", False):
         return trainer
-    trainer.loaders[train_loader_key].dataset.host_augment = False
-    trainer.train_step = wrap_device_augment(trainer.train_step)
+    if train_loader_key in trainer.loaders:
+        trainer.loaders[train_loader_key].dataset.host_augment = False
+        trainer.train_step = wrap_device_augment(trainer.train_step)
+    else:  # semi trainers: train_sup + train_unsup
+        trainer.loaders["train_sup"].dataset.host_augment = False
+        trainer.loaders["train_unsup"].dataset.host_augment = False
+        trainer.train_step = wrap_device_augment_semi(trainer.train_step)
     return trainer
 
 

@@ -159,6 +159,7 @@ def build(args, algo):
         raise ValueError(algo)
 
     trainer.prep = common.prep_batch
+    common.enable_device_augment(trainer, args)
     return trainer
 
 
