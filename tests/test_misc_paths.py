@@ -1,0 +1,89 @@
+"""Coverage for reproduce-script paths not hit elsewhere: Hebbian
+pretraining of the deep-supervision backbone (unet_urpc, averaged heads)
+and training on wavelet-variant inputs (--input1 HAAR_H with the
+MEAN_HAAR_* stats)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("GlaS")
+    rng = np.random.default_rng(10)
+    for split, n in (("train", 4), ("val", 2)):
+        os.makedirs(root / split / "image")
+        os.makedirs(root / split / "mask")
+        for i in range(n):
+            yy, xx = np.mgrid[:32, :32]
+            cy, cx = rng.integers(12, 20, 2)
+            m = ((yy - cy) ** 2 + (xx - cx) ** 2 < 49).astype(np.uint8)
+            Image.fromarray(np.stack([m * 150 + 50] * 3, -1).astype(
+                np.uint8)).save(root / split / "image" / f"{i}.png")
+            Image.fromarray(m * 255).save(root / split / "mask" / f"{i}.png")
+    return str(root)
+
+
+def test_hebbian_pretrain_urpc_backbone(tiny_dataset, tmp_path):
+    """pretrain_hebbian_unsup_2d with unet_urpc: 4 deep-supervision heads
+    averaged unconditionally (pretrain_hebbian_unsup_2d.py:177-181),
+    heads excluded per the reproduce script's EXCLUDE_LAYER list."""
+    from hebbax.cli.common import base_parser_2d
+    from hebbax.cli import pretrain_hebbian_unsup_2d as pre
+
+    args = pre.add_args(base_parser_2d()).parse_args([
+        "--path_dataset", tiny_dataset, "--dataset_name", "GlaS",
+        "--path_root_exp", str(tmp_path / "runs"),
+        "--network", "unet_urpc",
+        "--batch_size", "2", "--num_epochs", "2", "--validate_iter", "1",
+        "--lr", "1e-5", "--num_workers", "2",
+        "--exclude", "out_conv_dp1", "out_conv_dp2", "out_conv_dp3",
+        "out_conv",
+        "--hebb_mode", "swta_t", "--hebb_inv_temp", "20",
+    ])
+    trainer = pre.build(args)
+    for ld in trainer.loaders.values():
+        ld.dataset.size = (32, 32)
+    best = trainer.run()
+    assert 0.0 <= best[1] <= 1.0
+    from hebbax.utils.checkpoint import load_snapshot
+    _, meta = load_snapshot(os.path.join(trainer.paths.checkpoints,
+                                         "last.ckpt"))
+    assert "out_conv_dp2" in meta["excluded_layers"]
+
+
+def test_wavelet_input_variant(tiny_dataset, tmp_path):
+    """Generate HAAR_H inputs with the wavelet tool, then train with
+    --input1 HAAR_H so stats resolve via MEAN_HAAR_H
+    (train_sup_2d.py:110-115; grayscale wavelets are RGB-expanded and the
+    1-channel stats broadcast, like the reference's PIL convert + A.Normalize)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "w2d", "/root/repo/tools/wavelet2D.py")
+    w2d = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(w2d)
+    for split in ("train", "val"):
+        w2d.main(["--image_path", os.path.join(tiny_dataset, split,
+                                               "image"),
+                  "--L_path", os.path.join(tiny_dataset, split, "HAAR_L"),
+                  "--H_path", os.path.join(tiny_dataset, split, "HAAR_H"),
+                  "--wavelet_type", "haar", "--if_RGB", "1"])
+
+    from hebbax.cli.common import base_parser_2d
+    from hebbax.cli.train_sup_2d import add_args, build
+    args = add_args(base_parser_2d()).parse_args([
+        "--path_dataset", tiny_dataset, "--dataset_name", "GlaS",
+        "--path_root_exp", str(tmp_path / "runs"),
+        "--input1", "HAAR_H",
+        "--regime", "100", "--batch_size", "2", "--num_epochs", "2",
+        "--validate_iter", "1", "--optimizer", "adam", "--lr", "1e-3",
+        "--num_workers", "2",
+    ])
+    trainer = build(args)
+    for ld in trainer.loaders.values():
+        ld.dataset.size = (32, 32)
+    best = trainer.run()
+    assert 0.0 <= best[1] <= 1.0
