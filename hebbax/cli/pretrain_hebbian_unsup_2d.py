@@ -75,7 +75,10 @@ def build(args):
         # urpc/cct heads averaged unconditionally in the pretrainers
         # (pretrain_hebbian_unsup_2d.py:177-181)
         deep_supervision=meta["outputs"] == "deep4",
-        hebb_alpha=spec.alpha, trainable_mask=mask)
+        hebb_alpha=spec.alpha, trainable_mask=mask,
+        # alpha=1: backprop grads on converted kernels are scaled to zero,
+        # so differentiate only the excluded head — trunk backward DCE'd.
+        backprop_only=spec.exclude if spec.alpha == 1.0 else None)
     eval_step = make_eval_step(model, args.network, criterion,
                                needs_rng=bool(meta["rngs"]))
 

@@ -74,7 +74,8 @@ def build(args):
     train_step = make_sup_train_step(
         model, args.network, criterion, tx,
         deep_supervision=meta["outputs"] == "deep4",
-        hebb_alpha=spec.alpha, trainable_mask=mask)
+        hebb_alpha=spec.alpha, trainable_mask=mask,
+        backprop_only=spec.exclude if spec.alpha == 1.0 else None)
     eval_step = make_eval_step(model, args.network, criterion,
                                needs_rng=bool(meta["rngs"]))
     hebb_meta = {"hebb_params": spec.to_dict(),

@@ -52,18 +52,31 @@ def make_sup_train_step(model, network: str, criterion, tx,
                         deep_supervision: bool = False,
                         hebb_alpha: float = 0.0,
                         trainable_mask=None,
-                        unsup_loss: Optional[Callable] = None):
+                        unsup_loss: Optional[Callable] = None,
+                        backprop_only=None):
     """Supervised (or pretraining) step.
 
     unsup_loss(outputs, batch) -> scalar is an optional additive term used
     by the unsup pretrainers (ELBO, superpix CE, ...) evaluated on the same
     forward outputs.
+
+    backprop_only: optional tuple of module-path prefixes (the Hebbian
+    ``exclude`` head names).  When set, the backward pass differentiates
+    ONLY the parameters under those modules.  Mathematically identical to
+    the full backward at hebb_alpha=1 — every converted kernel's backprop
+    grad is scaled by (1-alpha)=0 and the rest is masked — but XLA then
+    dead-code-eliminates the whole trunk backward (the reference pays it:
+    HebbianConv weights keep requires_grad=True through pretraining,
+    /root/reference/pretrain_hebbian_unsup_2d.py:188-195).
     """
+    from flax import traverse_util
+
+    from ..hebb.spec import is_excluded
 
     def step(state: TrainState, batch, key):
         images, mask = batch["image"], batch["mask"]
 
-        def loss_of(params):
+        def run(params):
             variables = {"params": params}
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
@@ -74,8 +87,25 @@ def make_sup_train_step(model, network: str, criterion, tx,
                 loss = loss + unsup_loss(outputs, batch)
             return loss, (outputs, mut)
 
-        (loss, (outputs, mut)), grads = jax.value_and_grad(
-            loss_of, has_aux=True)(state.params)
+        if backprop_only:
+            flat = traverse_util.flatten_dict(state.params)
+            head_paths = [p for p in flat
+                          if is_excluded(p[:-1], tuple(backprop_only))]
+
+            def loss_of(head_flat):
+                merged = dict(flat)
+                merged.update(head_flat)
+                return run(traverse_util.unflatten_dict(merged))
+
+            (loss, (outputs, mut)), g_head = jax.value_and_grad(
+                loss_of, has_aux=True)({p: flat[p] for p in head_paths})
+            g_flat = {p: (g_head[p] if p in g_head
+                          else jnp.zeros_like(v))
+                      for p, v in flat.items()}
+            grads = traverse_util.unflatten_dict(g_flat)
+        else:
+            (loss, (outputs, mut)), grads = jax.value_and_grad(
+                run, has_aux=True)(state.params)
         if hebb_alpha:
             grads = merge_hebbian_grads(grads, mut.get("hebb", {}),
                                         hebb_alpha)

@@ -123,12 +123,17 @@ class HConv(nn.Module):
             key = (self.make_rng("hebb")
                    if spec.conv_mode(self.transpose) == "contrastive"
                    else None)
+            # Delta compute dtype: f32 by default; HEBBAX_DELTA_DTYPE=
+            # bfloat16 halves the HBM traffic of the weight-grad convs'
+            # operand relayouts (MXU still accumulates f32).
+            ddt = rules.delta_compute_dtype()
             delta = rules.compute_delta(
-                spec, jax.lax.stop_gradient(kernel),
-                x.astype(jnp.float32), y.astype(jnp.float32),
+                spec, jax.lax.stop_gradient(kernel).astype(ddt),
+                x.astype(ddt), y.astype(ddt),
                 strides, self.transpose, key=key,
                 bias=None if bias is None
-                else jax.lax.stop_gradient(bias).astype(jnp.float32))
+                else jax.lax.stop_gradient(bias).astype(ddt))
+            delta = delta.astype(jnp.float32)
             # shared decoders (CCT) call the same conv several times per
             # step; accumulate like the reference's `delta_w +=`.
             self.sow("hebb", "delta", jax.lax.stop_gradient(delta),
