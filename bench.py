@@ -1,11 +1,16 @@
 #!/usr/bin/env python
-"""Benchmark: GlaS 2D supervised train-step throughput (the reference's
-headline config: UNet 128x128, dice loss, SGD — train_sup_2d.py defaults).
+"""Driver benchmark suite.  Emits one JSON line per metric; the HEADLINE
+metric (GlaS 2D supervised train-step throughput — the reference's
+train_sup_2d.py defaults: UNet 128x128, dice, SGD) prints LAST so the
+driver's single-line parse picks it up.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline compares against the PyTorch reference model executing the
-identical train step on this host (the reference has no published
-numbers — BASELINE.md), at the same batch size.
+Other metrics: Hebbian swta_t pretrain step (the novelty path,
+pretrain_hebbian_unsup_2d.py defaults), and — unless BENCH_SKIP_3D is
+set — the 3D train-step and sliding-window metrics from bench_3d.py.
+
+vs_baseline is the speedup over the PyTorch reference executing the
+identical step on this host (the reference has no published numbers —
+BASELINE.md), at the same batch size.
 """
 
 import json
@@ -108,7 +113,135 @@ def bench_torch_reference():
         return None
 
 
+def bench_hebbax_pretrain():
+    """Hebbian swta_t pretrain step (alpha=1, exclude=out_conv — the
+    reproduce-script config, reproduce_hebbian_unsupervised_pretraining_2d
+    .sh:40 — adam) —
+    the repo's novelty path (cli/pretrain_hebbian_unsup_2d.py)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from hebbax.engine.state import TrainState
+    from hebbax.engine.steps import make_sup_train_step
+    from hebbax.hebb.spec import HebbSpec
+    from hebbax.hebb.surgery import pretrain_trainable_mask
+    from hebbax.models import get_network
+    from hebbax.ops.losses import segmentation_loss
+
+    spec = HebbSpec(mode="swta_t", k=50.0, w_nrm=True, alpha=1.0,
+                    exclude=("out_conv",))
+    model = get_network("unet", 3, 2, hebb=spec)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+    images = jnp.asarray(
+        np.random.RandomState(0).rand(BATCH, SIZE, SIZE, 3), jnp.float32)
+    masks = jnp.asarray(
+        np.random.RandomState(1).randint(0, 2, (BATCH, SIZE, SIZE)),
+        jnp.int32)
+    variables = model.init(rngs, images, train=False)
+    tx = optax.adam(1e-3)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables.get("batch_stats"),
+                       opt_state=tx.init(variables["params"]), step=0)
+    criterion = segmentation_loss("dice", False, num_classes=2)
+    mask = pretrain_trainable_mask(variables["params"], spec.exclude)
+    step = make_sup_train_step(model, "unet", criterion, tx,
+                               hebb_alpha=1.0, trainable_mask=mask,
+                               backprop_only=spec.exclude)
+    batch = {"image": images, "mask": masks}
+    key = jax.random.PRNGKey(2)
+    for _ in range(WARMUP):
+        state, out = step(state, batch, key)
+    jax.block_until_ready(out["loss"])
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, out = step(state, batch, key)
+    jax.block_until_ready(out["loss"])
+    dt = time.perf_counter() - t0
+    return ITERS / dt, ITERS * BATCH / dt
+
+
+def bench_torch_pretrain_reference():
+    """The reference's Hebbian pretrain step on this host's torch:
+    makehebbian(unet) + dice loss backward + local_update + adam step
+    (/root/reference/pretrain_hebbian_unsup_2d.py:180-195)."""
+    try:
+        import importlib.util
+
+        import torch
+
+        def load(path, name):
+            spec = importlib.util.spec_from_file_location(name, path)
+            m = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(m)
+            return m
+
+        ref = "/root/reference"
+        u = load(os.path.join(ref, "models/networks_2d/unet.py"),
+                 "ref_unet")
+        sys.path.insert(0, ref)
+        from hebb.makehebbian import makehebbian
+        from loss.loss_function import segmentation_loss as ref_loss
+
+        device = "cuda" if torch.cuda.is_available() else "cpu"
+        model = u.UNet_Transposed_Leaky(3, 2)
+        makehebbian(model, exclude=["out_conv"],
+                    hebb_params={"mode": "swta_t", "k": 50,
+                                 "w_nrm": True, "alpha": 1.0})
+        model = model.to(device).train()
+        criterion = ref_loss("dice", False)
+        opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+        x = torch.rand(BATCH, 3, SIZE, SIZE, device=device)
+        y = torch.randint(0, 2, (BATCH, 1, SIZE, SIZE), device=device)
+        iters = max(3, ITERS // 4)
+
+        def one_step():
+            opt.zero_grad()
+            loss = criterion(model(x), y)
+            loss.backward()
+            for m in model.modules():
+                if hasattr(m, "local_update"):
+                    m.local_update()
+            opt.step()
+
+        for _ in range(2):
+            one_step()
+        if device == "cuda":
+            torch.cuda.synchronize()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            one_step()
+        if device == "cuda":
+            torch.cuda.synchronize()
+        dt = time.perf_counter() - t0
+        return iters / dt
+    except Exception as e:
+        print(f"# torch pretrain control failed: {e}", flush=True)
+        return None
+
+
 def main():
+    # novelty path: Hebbian pretrain step
+    if not os.environ.get("BENCH_SKIP_PRETRAIN"):
+        p_steps, p_imgs = bench_hebbax_pretrain()
+        p_base = bench_torch_pretrain_reference()
+        print(json.dumps({
+            "metric": "glas2d_hebbian_swta_t_pretrain_images_per_sec",
+            "value": round(p_imgs, 2),
+            "unit": f"images/s (bs={BATCH}, {SIZE}x{SIZE})",
+            "vs_baseline": round(p_steps / p_base, 2) if p_base else None,
+        }), flush=True)
+
+    # 3D metrics (train patches/s + sliding-window volumes/s w/ control)
+    if not os.environ.get("BENCH_SKIP_3D"):
+        try:
+            import bench_3d
+            bench_3d.main()
+        except Exception as e:
+            print(f"# bench_3d failed: {e}", flush=True)
+
+    # headline metric LAST (driver parses the final JSON line)
     steps_per_sec, images_per_sec = bench_hebbax()
     baseline = bench_torch_reference()
     vs = steps_per_sec / baseline if baseline else None

@@ -175,7 +175,8 @@ def build(args, kind):
 
     if kind == "vae":
         def unsup(outputs, batch):
-            return elbo_metric(outputs, batch["image"])
+            return elbo_metric(outputs, batch["image"],
+                               weight=batch.get("weight"))
 
         train_step = make_probe_pretrain_step(
             model, args.network, criterion, tx, unsup,

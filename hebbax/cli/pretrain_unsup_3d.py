@@ -125,7 +125,8 @@ def build(args, kind):
         tx = common.build_tx(args, steps_per_epoch=len(loaders["train"]))
         if kind == "vae":
             def unsup(outputs, batch):
-                return elbo_metric(outputs, batch["image"])
+                return elbo_metric(outputs, batch["image"],
+                                   weight=batch.get("weight"))
         else:
             def unsup(outputs, batch):
                 return criterion(outputs[1], batch["mask_superpix"])

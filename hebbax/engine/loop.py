@@ -84,6 +84,12 @@ class SupTrainer:
                 b = pad_batch_to(
                     {k: (np.asarray(v) if hasattr(v, "shape") else v)
                      for k, v in b.items()}, total)
+            # per-sample 0/1 validity: losses mask padded samples out so a
+            # padded batch reproduces the unpadded loss/grads exactly
+            # (ops/losses.py weighted_mean; mask pixels pad to -1)
+            w = np.zeros(total, np.float32)
+            w[:n_valid] = 1.0
+            b["weight"] = w
             self._n_valid = n_valid
             return {k: (_jax.device_put(v, self._sharding)
                         if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0

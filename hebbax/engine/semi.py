@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.registry import primary_logits
-from ..ops.losses import entropy_loss, softmax_mse_loss
+from ..ops.losses import entropy_loss, softmax_mse_loss, weighted_mean
 from .loop import SupTrainer
 from .state import TrainState
 from .steps import _model_rngs
@@ -34,7 +34,8 @@ def make_semi_step(model, network: str, criterion, tx,
                    unsup_fn: Callable, sup_fn: Callable = None):
     """Generic single-state semi step.
 
-    unsup_fn(outputs_unsup) -> scalar consistency/entropy objective.
+    unsup_fn(outputs_unsup, unsup_batch) -> scalar consistency/entropy
+    objective (the batch carries the optional dp per-sample 'weight').
     sup_fn(outputs_sup, sup_batch) -> scalar supervised loss (defaults to
     criterion on the primary output vs batch['mask']).
     """
@@ -59,7 +60,7 @@ def make_semi_step(model, network: str, criterion, tx,
             out_s, mut = model.apply(
                 variables2, sup_batch["image"], train=True,
                 rngs=_model_rngs(k_sup), mutable=["batch_stats"])
-            loss_u = unsup_fn(out_u) * unsup_weight
+            loss_u = unsup_fn(out_u, unsup_batch) * unsup_weight
             loss_s = sup_fn(out_s, sup_batch)
             return loss_s + loss_u, (out_s, mut, loss_s, loss_u)
 
@@ -80,17 +81,18 @@ def make_semi_step(model, network: str, criterion, tx,
 def em_unsup(num_classes):
     """Entropy minimization (train_semi_EM_2d.py:229-235)."""
 
-    def fn(outputs):
+    def fn(outputs, batch):
         probs = jax.nn.softmax(outputs, axis=-1)
-        return entropy_loss(probs, num_classes)
+        return entropy_loss(probs, num_classes, weight=batch.get("weight"))
 
     return fn
 
 
-def urpc_unsup(outputs):
+def urpc_unsup(outputs, batch):
     """Uncertainty-rectified pyramid consistency
     (train_semi_URPC_2d.py:233-259): mean softmax across 4 scales;
     per-scale KL-to-mean variance weighting exp(-KL)."""
+    w = batch.get("weight")
     ps = [jax.nn.softmax(o, axis=-1) for o in outputs]
     mean_p = sum(ps) / len(ps)
     log_mean = jnp.log(mean_p)
@@ -101,18 +103,21 @@ def urpc_unsup(outputs):
                       keepdims=True)
         exp_var = jnp.exp(-var)
         dist = (mean_p - p) ** 2
-        total = total + (jnp.mean(dist * exp_var)
-                         / (jnp.mean(exp_var) + 1e-8) + jnp.mean(var))
+        total = total + (weighted_mean(dist * exp_var, w)
+                         / (weighted_mean(exp_var, w) + 1e-8)
+                         + weighted_mean(var, w))
     return total / len(ps)
 
 
-def cct_unsup(outputs):
+def cct_unsup(outputs, batch):
     """Cross-consistency: MSE between main and each perturbed-aux softmax
     (train_semi_CCT_2d.py:233-244)."""
+    w = batch.get("weight")
     main = jax.nn.softmax(outputs[0], axis=-1)
     total = 0.0
     for aux in outputs[1:]:
-        total = total + jnp.mean((main - jax.nn.softmax(aux, axis=-1)) ** 2)
+        total = total + weighted_mean(
+            (main - jax.nn.softmax(aux, axis=-1)) ** 2, w)
     return total / (len(outputs) - 1)
 
 
@@ -127,12 +132,13 @@ def deep4_sup(criterion):
     return fn
 
 
-def dtc_unsup(outputs):
+def dtc_unsup(outputs, batch):
     """Dual-task consistency (train_semi_DTC_3d.py:254-259):
     MSE(sigmoid(-1500*sdf), sigmoid(seg))."""
     sdf, seg = outputs
-    return jnp.mean((jax.nn.sigmoid(-1500.0 * sdf)
-                     - jax.nn.sigmoid(seg)) ** 2)
+    return weighted_mean((jax.nn.sigmoid(-1500.0 * sdf)
+                          - jax.nn.sigmoid(seg)) ** 2,
+                         batch.get("weight"))
 
 
 def dtc_sup(criterion, beta: float = 0.3, num_classes: int = 2):
@@ -141,10 +147,11 @@ def dtc_sup(criterion, beta: float = 0.3, num_classes: int = 2):
 
     def fn(outputs, batch):
         sdf, seg = outputs
-        loss_sdf = jnp.mean((sdf[..., 1] - batch["mask_sdf"]) ** 2)
+        w = batch.get("weight")
+        loss_sdf = weighted_mean((sdf[..., 1] - batch["mask_sdf"]) ** 2, w)
         if num_classes == 3 and "mask_sdf2" in batch:
-            loss_sdf = loss_sdf + jnp.mean(
-                (sdf[..., 2] - batch["mask_sdf2"]) ** 2)
+            loss_sdf = loss_sdf + weighted_mean(
+                (sdf[..., 2] - batch["mask_sdf2"]) ** 2, w)
         return criterion(seg, batch["mask"]) + beta * loss_sdf
 
     return fn
@@ -220,6 +227,10 @@ def make_uamt_step(model, network: str, criterion, tx, num_classes: int,
         rampup = jnp.exp(-5.0 * (1.0 - phase) ** 2)
         thresh = (0.75 + 0.25 * rampup) * jnp.log(2.0)
         unc_mask = (uncertainty < thresh).astype(jnp.float32)
+        w = unsup_batch.get("weight")
+        if w is not None:  # dp padding: padded samples drop out of both
+            unc_mask = unc_mask * w.reshape(  # numerator and denominator
+                (-1,) + (1,) * (unc_mask.ndim - 1))
         unc_mask = jax.lax.stop_gradient(unc_mask)
 
         def loss_of(params):
@@ -286,6 +297,11 @@ def make_cps_step(model1, model2, network: str, criterion, tx1, tx2):
             l2u = primary_logits(network, out2u)
             pl1 = jax.lax.stop_gradient(jnp.argmax(l1u, axis=-1))
             pl2 = jax.lax.stop_gradient(jnp.argmax(l2u, axis=-1))
+            w = unsup_batch.get("weight")
+            if w is not None:  # dp padding: padded pseudo-labels -> ignore
+                wb = (w.reshape((-1,) + (1,) * (pl1.ndim - 1)) > 0)
+                pl1 = jnp.where(wb, pl1, -1)
+                pl2 = jnp.where(wb, pl2, -1)
             loss_u = (criterion(l1u, pl2) + criterion(l2u, pl1)) \
                 * unsup_weight
             v1 = {"params": p1, **mut1}

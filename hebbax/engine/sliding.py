@@ -39,7 +39,8 @@ def grid_locations(vol_shape: Sequence[int], patch_size: Sequence[int],
 def make_device_slider(forward: Callable, vol_shape: Tuple[int, int, int],
                        patch_size: Tuple[int, int, int],
                        overlap: Tuple[int, int, int], n_cls: int,
-                       batch_size: int = 4):
+                       batch_size: int = 4, mesh=None,
+                       finalize: str = None):
     """Fully device-resident sliding window: the whole patch loop runs
     inside ONE jitted function (lax.scan over patch batches, dynamic-slice
     gather, read-modify-write scatter-add), so a volume costs a single
@@ -52,6 +53,20 @@ def make_device_slider(forward: Callable, vol_shape: Tuple[int, int, int],
     variables through fwd_args rather than closing over them (closure
     constants inline multi-hundred-MB params into the program, which
     breaks remote-compile size limits).
+
+    mesh: optional jax.sharding.Mesh — shard each patch batch over the
+    mesh's first axis (model replicated, patches data-parallel) while the
+    scatter-add aggregation stays device-resident in the SAME jitted
+    program; batch_size must be a multiple of the mesh size.  This is the
+    sharded sliding-window evaluator (SURVEY.md section 5) replacing the
+    reference's NCCL DDP tester.
+
+    finalize: None -> (X,Y,Z,C) f32 overlap-averaged logits;
+    'binary'     -> run(vol, threshold, *fwd_args) -> (X,Y,Z) uint8
+                    (softmax class-1 prob > threshold), computed on device
+                    so the host fetch is 1 byte/voxel instead of C*4;
+    'argmax'     -> (X,Y,Z) uint8 argmax.  (save_test_3d semantics,
+    /root/reference/utils.py:570-607.)
     """
     import jax
     import jax.numpy as jnp
@@ -72,10 +87,21 @@ def make_device_slider(forward: Callable, vol_shape: Tuple[int, int, int],
              z:z + patch_size[2]] += 1.0
     inv_hits = (1.0 / np.maximum(hits, 1.0)).astype(np.float32)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if batch_size % mesh.devices.size:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by mesh size "
+                f"{mesh.devices.size}")
+        patch_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+        rep = NamedSharding(mesh, P())
+    else:
+        patch_sharding = rep = None
+
     # grid arrays are passed as ARGUMENTS, not closure constants —
     # embedded multi-MB constants blow remote-compile request limits
     @jax.jit
-    def run_impl(vol, loc_b, valid_b, inv_h, *fwd_args):
+    def run_impl(vol, loc_b, valid_b, inv_h, thr, *fwd_args):
         vol = vol.astype(jnp.float32)
 
         def gather(loc):
@@ -84,7 +110,14 @@ def make_device_slider(forward: Callable, vol_shape: Tuple[int, int, int],
         def body(acc, inp):
             locs_b, vb = inp
             patches = jax.vmap(gather)(locs_b)
+            if patch_sharding is not None:
+                # batch-shard the model forward across the mesh; the
+                # scatter below runs on the (replicated) gathered result
+                patches = lax.with_sharding_constraint(
+                    patches, patch_sharding)
             out = forward(patches[..., None], *fwd_args)
+            if rep is not None:
+                out = lax.with_sharding_constraint(out, rep)
             out = out * vb[:, None, None, None, None]
 
             def scatter_one(a, j):
@@ -98,15 +131,35 @@ def make_device_slider(forward: Callable, vol_shape: Tuple[int, int, int],
             return acc, None
 
         acc = jnp.zeros(vol_shape + (n_cls,), jnp.float32)
+        if rep is not None:
+            acc = lax.with_sharding_constraint(acc, rep)
         acc, _ = lax.scan(body, acc, (loc_b, valid_b))
-        return acc * inv_h[..., None]
+        agg = acc * inv_h[..., None]
+        if finalize == "binary":
+            probs = jax.nn.softmax(agg, axis=-1)[..., 1]
+            return (probs > thr).astype(jnp.uint8)
+        if finalize == "argmax":
+            return jnp.argmax(agg, axis=-1).astype(jnp.uint8)
+        return agg
 
     loc_b_dev = jnp.asarray(loc_batches)
     valid_b_dev = jnp.asarray(valid_batches)
     inv_h_dev = jnp.asarray(inv_hits)
+    if rep is not None:
+        import jax as _jax
+        loc_b_dev = _jax.device_put(loc_b_dev, rep)
+        valid_b_dev = _jax.device_put(valid_b_dev, rep)
+        inv_h_dev = _jax.device_put(inv_h_dev, rep)
 
     def run(vol, *fwd_args):
-        return run_impl(vol, loc_b_dev, valid_b_dev, inv_h_dev, *fwd_args)
+        thr = jnp.float32(0.0)
+        if finalize == "binary":
+            thr, fwd_args = jnp.float32(fwd_args[0]), fwd_args[1:]
+        if rep is not None:
+            import jax as _jax
+            vol = _jax.device_put(jnp.asarray(vol, jnp.float32), rep)
+        return run_impl(vol, loc_b_dev, valid_b_dev, inv_h_dev, thr,
+                        *fwd_args)
 
     return run
 
@@ -117,26 +170,44 @@ _SLIDER_CACHE = {}
 def slide_window_inference_device(forward: Callable, volume: np.ndarray,
                                   patch_size, overlap, n_cls: int,
                                   batch_size: int = 4,
-                                  fwd_args=()) -> np.ndarray:
+                                  fwd_args=(), mesh=None,
+                                  finalize: str = None,
+                                  threshold: float = None,
+                                  fetch: bool = True) -> np.ndarray:
     """Device-resident variant of slide_window_inference (same result).
     Compiled sliders are cached per (forward, volume shape, grid config)
     so repeated volumes of one shape compile once.  Pass model variables
-    via fwd_args (forward(patches, *fwd_args)) — see make_device_slider."""
+    via fwd_args (forward(patches, *fwd_args)) — see make_device_slider.
+
+    mesh/finalize: see make_device_slider.  fetch=False returns the
+    on-device array plus a crop closure — callers can overlap volume i's
+    host fetch with volume i+1's dispatch (jax dispatch is async)."""
     vol = np.asarray(volume, np.float32)
     pad = [max(0, p - s) for s, p in zip(vol.shape, patch_size)]
     if any(pad):
         vol = np.pad(vol, [(0, p) for p in pad])
     key = (id(forward), vol.shape, tuple(patch_size), tuple(overlap),
-           n_cls, batch_size)
+           n_cls, batch_size, id(mesh), finalize)
     run = _SLIDER_CACHE.get(key)
     if run is None:
         run = make_device_slider(forward, vol.shape, tuple(patch_size),
-                                 tuple(overlap), n_cls, batch_size)
+                                 tuple(overlap), n_cls, batch_size,
+                                 mesh=mesh, finalize=finalize)
         _SLIDER_CACHE[key] = run
-    agg = np.asarray(run(vol, *fwd_args))
-    if any(pad):
-        agg = agg[: volume.shape[0], : volume.shape[1], : volume.shape[2]]
-    return agg
+    if finalize == "binary":
+        fwd_args = (threshold,) + tuple(fwd_args)
+    dev = run(vol, *fwd_args)
+    shape = volume.shape
+
+    def crop(arr):
+        arr = np.asarray(arr)
+        if any(pad):
+            arr = arr[: shape[0], : shape[1], : shape[2]]
+        return arr
+
+    if not fetch:
+        return dev, crop
+    return crop(dev)
 
 
 def slide_window_inference(forward: Callable, volume: np.ndarray,

@@ -113,16 +113,33 @@ def swta_conv_delta(w, x, y, k, strides):
     return pos - r_sum * w
 
 
-def hpca_conv_delta(w, x, y, strides):
+def _sanger_tril(o, dtype, chunk=None):
+    """Lower-triangular (incl. diagonal) lateral-competition mask.
+
+    chunk: the reference's 3D TRANSPOSE layer chunks its weight's dim 1 —
+    which is the OUTPUT channel axis there — in PARALLEL_CHANNELS=32
+    pieces and builds the tril over LOCAL chunk indices
+    (hebb3d.py:7,295-306), so the lateral ordering resets every 32
+    channels (block-diagonal tril).  A GPU-memory knob that changes the
+    math; replicated exactly for parity.  The 3D CONV layer chunks dim 1
+    too, but there it is the INPUT axis and its tril spans all outputs
+    (hebb3d.py:144-154) -> chunk=None, as for the unchunked 2D layers."""
+    tril = jnp.tril(jnp.ones((o, o), dtype))
+    if chunk:
+        idx = jnp.arange(o) // chunk
+        tril = tril * (idx[:, None] == idx[None, :]).astype(dtype)
+    return tril
+
+
+def hpca_conv_delta(w, x, y, strides, chunk=None):
     """Sanger's rule: dw = <y, x_patches> - tril(y y^T) @ w."""
     x = lax.stop_gradient(x)
     y = lax.stop_gradient(y)
     pos = _wgrad(conv_fwd, x, w.shape, y, strides)
     yf = y.reshape(-1, y.shape[-1])
     m = yf.T @ yf                                     # (O, O)
-    o = m.shape[0]
-    tril = jnp.tril(jnp.ones((o, o), w.dtype))        # includes diagonal
-    dec = jnp.einsum("ab,...b->...a", m * tril, w)
+    dec = jnp.einsum("ab,...b->...a",
+                     m * _sanger_tril(m.shape[0], w.dtype, chunk), w)
     return pos - dec
 
 
@@ -178,16 +195,18 @@ def swta_t_delta(w, x, y, k_temp, strides):
     return pos - dec
 
 
-def hpca_t_delta(w, x, y, strides):
-    """Transpose-conv Sanger: per-offset Gram of the unfolded output."""
+def hpca_t_delta(w, x, y, strides, chunk=None):
+    """Transpose-conv Sanger: per-offset Gram of the unfolded output.
+
+    chunk: see _sanger_tril — hebb3d's chunked unfold block-diagonalizes
+    the tril in the 3D reference."""
     x = lax.stop_gradient(x)
     y = lax.stop_gradient(y)
     nd = x.ndim - 2
     k = w.shape[:nd]
     pos = _wgrad(conv_transpose_fwd, x, w.shape, y, strides)
     m = _strided_patches_m(y, x.shape, k, strides)     # (K, O, O)
-    o = m.shape[-1]
-    tril = jnp.tril(jnp.ones((o, o), w.dtype))
+    tril = _sanger_tril(m.shape[-1], w.dtype, chunk)
     w_k = w.reshape((-1,) + w.shape[nd:])              # (K, I, O)
     # patchwise: dec[i,o] = sum_kappa sum_{o'<=o} M_k[o,o'] w[kappa,i,o']
     dec = jnp.einsum("kab,kib->ia", m * tril, w_k)
@@ -283,5 +302,7 @@ def compute_delta(spec, w, x, y, strides, transpose, key=None, bias=None):
     if mode == "hpca_t":
         if not transpose:
             raise ValueError("hpca_t only applies to transpose convs")
-        return hpca_t_delta(w, x, y, strides)
+        # 3D: hebb3d's chunked unfold block-diagonalizes the Sanger tril
+        return hpca_t_delta(w, x, y, strides,
+                            chunk=32 if nd == 3 else None)
     raise NotImplementedError(f"Hebbian mode {mode!r} unavailable")

@@ -17,6 +17,21 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def weighted_mean(x, w):
+    """Mean of ``x`` over all elements with per-sample weights ``w`` (N,).
+
+    With ``w=None`` this is ``jnp.mean(x)``.  With a 0/1 validity vector
+    (data-parallel padded batches, parallel/mesh.py) it equals the plain
+    mean over the valid samples only — the quantity the reference computes
+    on the true partial batch it never pads."""
+    if w is None:
+        return jnp.mean(x)
+    wb = w.reshape((-1,) + (1,) * (x.ndim - 1))
+    denom = jnp.sum(w) * float(np.prod(x.shape[1:]))
+    return jnp.sum(x * wb) / jnp.maximum(denom, 1.0)
 
 
 def _one_hot_valid(target, num_classes, ignore_index=-1):
@@ -42,7 +57,14 @@ def dice_loss(logits, target, num_classes=None, smooth=1.0, p=2,
     valid = valid.reshape(n, -1, 1)
     num = 2.0 * jnp.sum(probs * onehot * valid, axis=1) + smooth
     den = jnp.sum((probs ** p + onehot ** p) * valid, axis=1) + smooth
-    per_class = jnp.mean(1.0 - num / den, axis=0)  # mean over batch
+    # batch mean over EFFECTIVE samples: a sample with zero valid pixels
+    # (mask all ignore_index — only dp padding produces these,
+    # parallel/mesh.py) contributes nothing and is not counted, so a
+    # padded dp batch yields exactly the unpadded-batch loss.  For fully
+    # valid batches this equals the reference's plain batch mean.
+    sample_valid = (jnp.sum(valid, axis=1) > 0).astype(probs.dtype)  # (N,1)
+    n_eff = jnp.maximum(jnp.sum(sample_valid), 1.0)
+    per_class = jnp.sum((1.0 - num / den) * sample_valid, axis=0) / n_eff
     return jnp.mean(per_class)
 
 
@@ -75,10 +97,12 @@ def segmentation_loss(loss="dice", aux=False, num_classes=None):
     elif loss == "bce":
         def base(logits, target):
             probs = jax.nn.sigmoid(logits)
-            t = target.astype(jnp.float32)
+            valid = (target != -1).astype(jnp.float32)
+            t = jnp.maximum(target.astype(jnp.float32), 0.0)
             eps = 1e-7
-            return -jnp.mean(t * jnp.log(probs + eps)
-                             + (1 - t) * jnp.log(1 - probs + eps))
+            bce = (t * jnp.log(probs + eps)
+                   + (1 - t) * jnp.log(1 - probs + eps)) * valid
+            return -jnp.sum(bce) / jnp.maximum(jnp.sum(valid), 1.0)
         aw = 0.4
     elif loss == "bcebound":
         base = functools.partial(bce_bound_loss, num_classes=num_classes)
@@ -102,25 +126,31 @@ def softmax_mse_loss(input_logits, target_logits, sigmoid=False):
     return (a - jax.lax.stop_gradient(b)) ** 2
 
 
-def entropy_loss(probs, num_classes=2):
-    """Mean pixel entropy of a softmax map, normalized by log(C)."""
+def entropy_loss(probs, num_classes=2, weight=None):
+    """Mean pixel entropy of a softmax map, normalized by log(C).
+
+    weight: optional per-sample 0/1 validity vector (dp padded batches)."""
     ent = -jnp.sum(probs * jnp.log(probs + 1e-6), axis=-1)
-    return jnp.mean(ent) / jnp.log(num_classes)
+    return weighted_mean(ent, weight) / jnp.log(num_classes)
 
 
 def bce_bound_loss(logits, target, num_classes=2):
-    """Per-class log-frequency-weighted BCE on softmax probabilities (3D)."""
+    """Per-class log-frequency-weighted BCE on softmax probabilities (3D).
+
+    Pixels with target == -1 (ignore_index; dp padding) are excluded from
+    both the BCE mean and the positive-frequency weight; on fully valid
+    batches this is the reference formula verbatim."""
     probs = jax.nn.softmax(logits, axis=-1)
-    onehot = jax.nn.one_hot(jnp.clip(target, 0, None), num_classes)
-    voxels = jnp.prod(jnp.asarray(target.shape[1:], jnp.float32))
+    onehot, valid = _one_hot_valid(target, num_classes)
+    n_valid = jnp.maximum(jnp.sum(valid), 1.0)
     losses = []
     for i in range(num_classes):
         p = jnp.clip(probs[..., i], 1e-3, 1 - 1e-3)
-        t = onehot[..., i]
+        t = onehot[..., i] * valid
         # positive-class weight: log(V / (#positives + 1))
-        tt = jnp.log(target.shape[0] * voxels / (jnp.sum(t) + 1))
-        bce = tt * t * jnp.log(p) + (1 - t) * jnp.log(1 - p)
-        losses.append(-jnp.mean(bce))
+        tt = jnp.log(n_valid / (jnp.sum(t) + 1))
+        bce = (tt * t * jnp.log(p) + (1 - t) * jnp.log(1 - p)) * valid
+        losses.append(-jnp.sum(bce) / n_valid)
     return jnp.mean(jnp.stack(losses))
 
 
@@ -130,13 +160,16 @@ def kl_loss(mean, std):
             - jnp.mean(jnp.log(std * std)) - 1.0)
 
 
-def elbo_metric(vae_outputs, targets, beta=1.0):
-    """MSE reconstruction + beta * KLD, the VAE pretraining objective."""
+def elbo_metric(vae_outputs, targets, beta=1.0, weight=None):
+    """MSE reconstruction + beta * KLD, the VAE pretraining objective.
+
+    weight: optional per-sample 0/1 validity vector (dp padded batches)."""
     reconstr = vae_outputs["reconstr"]
     mu = vae_outputs["mu"]
     log_var = vae_outputs["log_var"]
-    reconstr_loss = jnp.mean((reconstr - targets) ** 2)
+    reconstr_loss = weighted_mean((reconstr - targets) ** 2, weight)
     # sum over channel (latent) axis, mean over batch/space
-    kld = jnp.mean(-0.5 * jnp.sum(1 + log_var - mu ** 2 - jnp.exp(log_var),
-                                  axis=-1))
+    kld = weighted_mean(
+        -0.5 * jnp.sum(1 + log_var - mu ** 2 - jnp.exp(log_var), axis=-1),
+        weight)
     return reconstr_loss + beta * kld

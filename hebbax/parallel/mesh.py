@@ -44,16 +44,31 @@ def replicate_state(state, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
 
 
-def pad_batch_to(batch: dict, total: int) -> dict:
-    """Pad the batch dim to ``total`` by repeating the last sample and
-    return (batch, n_valid).  Keeps shapes static across the epoch so one
-    compiled step serves every batch; callers mask metrics with n_valid."""
+def pad_batch_to(batch: dict, total: int, ignore_index: int = -1) -> dict:
+    """Pad the batch dim to ``total``, keeping shapes static across the
+    epoch so one compiled step serves every batch.
+
+    Images (and sdf targets etc.) are padded by repeating the last sample
+    — the closest-to-real statistics for BatchNorm.  Integer class masks
+    (``mask`` keys) are padded with ``ignore_index`` so the padded samples
+    contribute ZERO to every loss (CE masks per-pixel; dice/bcebound
+    normalize by the effective valid count — ops/losses.py).  The
+    remaining per-sample-mean losses are masked via the 0/1 ``weight``
+    vector the dp prep attaches (engine/loop.py), so a padded dp batch
+    reproduces the unpadded batch's loss and gradients exactly.  (The only
+    residual deviation is BatchNorm batch statistics, which see the
+    repeated image — inherent to static shapes.)"""
     out = {}
     for k, v in batch.items():
         if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0:
             n = v.shape[0]
             if n < total:
-                pad = np.repeat(v[-1:], total - n, axis=0)
+                if (k.startswith("mask")
+                        and np.issubdtype(v.dtype, np.integer)):
+                    pad = np.full((total - n,) + v.shape[1:], ignore_index,
+                                  v.dtype)
+                else:
+                    pad = np.repeat(v[-1:], total - n, axis=0)
                 v = np.concatenate([v, pad], axis=0)
             out[k] = v
         else:

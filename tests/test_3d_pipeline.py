@@ -191,3 +191,45 @@ def test_test_3d_cli(tiny_volumes, tmp_path):
     results = run_test(targs)
     assert os.path.exists(os.path.join(trainer.paths.run, "test.csv"))
     assert 0.0 <= results["dice"] <= 1.0
+
+
+def test_device_slider_sharded_and_finalized():
+    """VERDICT r1 item 4: the mesh-sharded device slider (sharded patch
+    forward + device-resident scatter-add in ONE jitted program) must be
+    byte-identical to the dp=1 device slider; on-device finalize must
+    match host softmax/threshold/argmax."""
+    import jax
+    import jax.numpy as jnp
+
+    from hebbax.engine.sliding import slide_window_inference_device
+    from hebbax.parallel import make_mesh
+
+    w = np.random.default_rng(0).normal(size=(1, 2)).astype(np.float32)
+
+    def forward(patches):
+        return patches @ w
+
+    vol = np.random.default_rng(1).normal(
+        size=(24, 20, 12)).astype(np.float32)
+    kw = dict(patch_size=PATCH, overlap=(8, 8, 4), n_cls=2, batch_size=8)
+    logits1 = slide_window_inference_device(forward, vol, **kw)
+    mesh = make_mesh(8)
+    logits8 = slide_window_inference_device(forward, vol, mesh=mesh, **kw)
+    np.testing.assert_allclose(logits1, logits8, rtol=1e-6, atol=1e-6)
+
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits1), axis=-1))[..., 1]
+    want_bin = (probs > 0.43).astype(np.uint8)
+    for m in (None, mesh):
+        got_bin = slide_window_inference_device(
+            forward, vol, mesh=m, finalize="binary", threshold=0.43, **kw)
+        assert got_bin.dtype == np.uint8
+        np.testing.assert_array_equal(got_bin, want_bin)
+    got_arg = slide_window_inference_device(
+        forward, vol, finalize="argmax", **kw)
+    np.testing.assert_array_equal(got_arg,
+                                  np.argmax(logits1, -1).astype(np.uint8))
+
+    # deferred-fetch contract: device array + crop closure
+    dev, crop = slide_window_inference_device(
+        forward, vol, finalize="binary", threshold=0.43, fetch=False, **kw)
+    np.testing.assert_array_equal(crop(dev), want_bin)

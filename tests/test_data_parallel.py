@@ -58,3 +58,106 @@ def test_dp_trainer_runs_and_matches_single_device(tiny_dataset, tmp_path):
     # identical data order + params: losses match to float tolerance
     np.testing.assert_allclose(l1["loss"], l8["loss"], rtol=2e-3)
     assert abs(best1[1] - best8[1]) < 5e-2
+
+
+def test_dp_padded_batch_matches_unpadded_grads():
+    """VERDICT r1 item 7: a partial batch padded for dp must produce the
+    SAME loss and parameter update as the unpadded batch on one device
+    (masks pad to ignore_index; losses normalize by the effective count).
+    Uses a BN-free model so batch statistics cannot differ."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import optax
+
+    from hebbax.engine.state import TrainState
+    from hebbax.engine.steps import make_sup_train_step
+    from hebbax.ops.losses import segmentation_loss
+    from hebbax.parallel import (batch_sharding, make_mesh, pad_batch_to,
+                                 replicate_state)
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            x = nn.relu(nn.Conv(8, (3, 3))(x))
+            return nn.Conv(2, (1, 1))(x)
+
+    model = Tiny()
+    rng = np.random.default_rng(0)
+    imgs = rng.normal(size=(7, 16, 16, 3)).astype(np.float32)
+    masks = (rng.random((7, 16, 16)) > 0.5).astype(np.int32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 16, 16, 3), np.float32))
+    mesh = make_mesh(4)
+    sharding = batch_sharding(mesh)
+
+    for lname in ("dice", "crossentropy"):
+        criterion = segmentation_loss(lname)
+        tx = optax.sgd(1.0)  # update == -grad: param diff exposes grads
+
+        def mkstate():
+            # fresh buffers: the step donates its state argument
+            params = jax.tree_util.tree_map(jnp.array, variables["params"])
+            return TrainState(params=params, batch_stats=None,
+                              opt_state=tx.init(params), step=0)
+
+        step = make_sup_train_step(model, "unet", criterion, tx)
+        key = jax.random.PRNGKey(1)
+        s1, out1 = step(mkstate(), {"image": imgs, "mask": masks}, key)
+
+        padded = pad_batch_to({"image": imgs, "mask": masks}, 8)
+        w = np.zeros(8, np.float32)
+        w[:7] = 1.0
+        padded["weight"] = w
+        padded = {k: jax.device_put(v, sharding) for k, v in padded.items()}
+        s2, out2 = step(replicate_state(mkstate(), mesh), padded, key)
+
+        np.testing.assert_allclose(float(out1["loss"]), float(out2["loss"]),
+                                   rtol=1e-6, err_msg=lname)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                a, b, rtol=1e-5, atol=1e-6, err_msg=lname),
+            s1.params, s2.params)
+
+
+def test_semi_unsup_losses_ignore_padded_samples():
+    """The semi consistency objectives must be invariant to dp padding:
+    weighted over the valid samples only."""
+    import jax.numpy as jnp
+
+    from hebbax.engine.semi import cct_unsup, dtc_unsup, em_unsup, urpc_unsup
+    from hebbax.ops.losses import bce_bound_loss
+
+    rng = np.random.default_rng(1)
+    outs = [jnp.asarray(rng.normal(size=(5, 8, 8, 2)).astype(np.float32))
+            for _ in range(4)]
+    pad = [jnp.concatenate([o, o[-1:] * 0.3 + 1.0], axis=0) for o in outs]
+    w = jnp.asarray(np.array([1, 1, 1, 1, 1, 0], np.float32))
+    nob, wb = {}, {"weight": w}
+
+    em = em_unsup(2)
+    np.testing.assert_allclose(float(em(outs[0], nob)),
+                               float(em(pad[0], wb)), rtol=1e-6)
+    np.testing.assert_allclose(float(urpc_unsup(outs, nob)),
+                               float(urpc_unsup(pad, wb)), rtol=1e-6)
+    np.testing.assert_allclose(float(cct_unsup(outs, nob)),
+                               float(cct_unsup(pad, wb)), rtol=1e-6)
+    np.testing.assert_allclose(float(dtc_unsup(outs[:2], nob)),
+                               float(dtc_unsup(pad[:2], wb)), rtol=1e-6)
+
+    # bce (sigmoid, target-shaped logits): -1 pixels drop out
+    from hebbax.ops.losses import segmentation_loss
+    bce = segmentation_loss("bce")
+    lg = jnp.asarray(rng.normal(size=(5, 8, 8)).astype(np.float32))
+    tg = jnp.asarray(rng.integers(0, 2, (5, 8, 8)).astype(np.int32))
+    lgp = jnp.concatenate([lg, lg[-1:]], axis=0)
+    tgp = jnp.concatenate([tg, tg[-1:] * 0 - 1], axis=0)
+    np.testing.assert_allclose(float(bce(lg, tg)), float(bce(lgp, tgp)),
+                               rtol=1e-6)
+
+    # bce_bound: padded mask pixels (-1) drop out of mean and weighting
+    logits = jnp.asarray(rng.normal(size=(5, 6, 6, 6, 2)).astype(np.float32))
+    target = jnp.asarray(rng.integers(0, 2, (5, 6, 6, 6)).astype(np.int32))
+    lp = jnp.concatenate([logits, logits[-1:]], axis=0)
+    tp = jnp.concatenate([target, target[-1:] * 0 - 1], axis=0)
+    np.testing.assert_allclose(float(bce_bound_loss(logits, target)),
+                               float(bce_bound_loss(lp, tp)), rtol=1e-6)
