@@ -77,6 +77,11 @@ def build(args, image_size=224):
     enc_params = encoder.init(
         {"params": key}, jnp.zeros((1,) + size + (3,)))["params"]
     enc_params, pretrained = load_hf_rad_dino_params(enc_params)
+    if not pretrained:
+        print("WARNING: microsoft/rad-dino weights unavailable (offline?) "
+              "— the frozen ViT encoder runs with RANDOM init; decoder "
+              "metrics will not be comparable to the reference's "
+              "pretrained-encoder results")
     grid = image_size // 14
     dec_vars = decoder.init({"params": jax.random.fold_in(key, 1)},
                             jnp.zeros((1, grid, grid, 768)), train=False)

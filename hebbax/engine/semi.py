@@ -404,22 +404,29 @@ class DualEvalMixin:
         from ..ops.metrics import make_accumulator
         accs = [make_accumulator(self.num_classes),
                 make_accumulator(self.num_classes)]
-        total_loss, n_batches = 0.0, 0
+        losses = [0.0, 0.0]
+        n_batches = 0
         for i, batch in enumerate(self.loaders["val"]):
             b = self.prep(batch)
             for which in (1, 2):
                 out = self.eval_step(self.state.variables(which), b,
                                      self._key(epoch, i, val=True))
                 accs[which - 1].update(out["logits"], b["mask"])
-                if which == 1 and "loss" in out:
-                    total_loss = total_loss + out["loss"]
+                if "loss" in out:
+                    losses[which - 1] = losses[which - 1] + out["loss"]
             n_batches += 1
         ev1 = accs[0].finalize()
         ev2 = accs[1].finalize()
         self._last_dual_eval = (ev1, ev2)
         ev = ev2 if ev2[1] > ev1[1] else ev1
         self._winner = 2 if ev2[1] > ev1[1] else 1
-        return float(total_loss) / max(n_batches, 1), ev, [], []
+        # the reference logs BOTH members' val losses
+        # (train_semi_CPS_2d.py:398 compute_val_epoch_loss_MT)
+        l1 = float(losses[0]) / max(n_batches, 1)
+        l2 = float(losses[1]) / max(n_batches, 1)
+        self.printer.line(f"Val Loss 2: {l2:.4f}")
+        self.writer.add_scalar("val/segm_loss2", l2, epoch + 1)
+        return l1, ev, [], []
 
     def _save_best(self, threshold, epoch):
         from ..utils.checkpoint import save_snapshot

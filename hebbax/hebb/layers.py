@@ -55,12 +55,19 @@ def torch_kernel_init(init_type="kaiming", transpose=False, gain=0.02):
         elif init_type == "normal":
             std = gain
         elif init_type == "orthogonal":
-            flat = jax.nn.initializers.orthogonal(scale=gain)(
-                key, (fan_in, shape[nd + 1] if not transpose else shape[nd]))
-            # orthogonal on the (fan_in, fan_out-ish) matrix, reshaped
-            return flat.reshape(shape[:nd] + (i, o)) \
-                if flat.size == math.prod(shape) else \
-                jax.random.normal(key, shape, dtype) * gain
+            # torch nn.init.orthogonal_ semantics (networks_2d/unet.py:19):
+            # the weight is viewed as (dim0, prod(rest)) and filled with a
+            # semi-orthogonal matrix scaled by gain.  conv (O,I,*k) ->
+            # rows=O, cols=I*rf; transpose (I,O,*k) -> rows=I, cols=O*rf.
+            rows = o if not transpose else i
+            q = jax.nn.initializers.orthogonal(scale=gain)(
+                key, (rows, math.prod(shape) // rows), dtype)
+            if transpose:   # (I, O*rf) -> (I, O, *k) -> (*k, I, O)
+                q = q.reshape((i, o) + shape[:nd])
+                return jnp.transpose(q, tuple(range(2, nd + 2)) + (0, 1))
+            # (O, I*rf) -> (O, I, *k) -> (*k, I, O)
+            q = q.reshape((o, i) + shape[:nd])
+            return jnp.transpose(q, tuple(range(2, nd + 2)) + (1, 0))
         else:
             raise NotImplementedError(f"init {init_type!r}")
         return std * jax.random.normal(key, shape, dtype)

@@ -7,9 +7,8 @@ the transform reproduces pywt's symmetric-extension single-level DWT:
 output length floor((n + flen - 1)/2), half-sample symmetric padding,
 correlation with the decomposition filter, odd-phase downsampling.
 
-Families: haar, db2, db4, coif1, bior1.5, bior2.4.  ('dmey' — a 62-tap
-numerically-derived filter — is not embedded; requesting it raises with
-a pointer to supply the table.)
+Families: haar, db2, db4, coif1, bior1.5, bior2.4, dmey (the 62-tap
+discrete-Meyer FIR table, standard published coefficients).
 """
 
 import math
@@ -48,6 +47,43 @@ _BIOR24_HI = np.array([
     0.3535533905932738, 0.0, 0.0, 0.0, 0.0])
 
 
+# discrete Meyer ('dmey'): the standard 62-tap FIR approximation of the
+# Meyer scaling filter (the table MATLAB/pywt ship); symmetric, padded to
+# even length with a trailing zero.  Listed as rec_lo; dec_lo = reversed.
+_DMEY_REC_LO = np.array([
+    -1.009999956941423e-12, 8.519459636796214e-09,
+    -1.111944952595278e-08, -1.0798819539621958e-08,
+    6.066975741351135e-08, -1.0866516536735883e-07,
+    8.200680650386481e-08, 1.1783004497663934e-07,
+    -5.506340565252278e-07, 1.1307947017916706e-06,
+    -1.489549216497156e-06, 7.367572885903746e-07,
+    3.20544191334478e-06, -1.6312699734552807e-05,
+    6.554305930575149e-05, -0.0006011502343516092,
+    -0.002704672124643725, 0.002202534100911002,
+    0.006045814097323304, -0.006387718318497156,
+    -0.011061496392513451, 0.015270015130934803,
+    0.017423434103729693, -0.03213079399021176,
+    -0.024348745906078023, 0.0637390243228016,
+    0.030655091960824263, -0.13284520043622938,
+    -0.035087555656258346, 0.44459300275757724,
+    0.7445855923188063, 0.44459300275757724,
+    -0.035087555656258346, -0.13284520043622938,
+    0.030655091960824263, 0.0637390243228016,
+    -0.024348745906078023, -0.03213079399021176,
+    0.017423434103729693, 0.015270015130934803,
+    -0.011061496392513451, -0.006387718318497156,
+    0.006045814097323304, 0.002202534100911002,
+    -0.002704672124643725, -0.0006011502343516092,
+    6.554305930575149e-05, -1.6312699734552807e-05,
+    3.20544191334478e-06, 7.367572885903746e-07,
+    -1.489549216497156e-06, 1.1307947017916706e-06,
+    -5.506340565252278e-07, 1.1783004497663934e-07,
+    8.200680650386481e-08, -1.0866516536735883e-07,
+    6.066975741351135e-08, -1.0798819539621958e-08,
+    -1.111944952595278e-08, 8.519459636796214e-09,
+    -1.009999956941423e-12, 0.0])
+
+
 def _qmf(lo):
     """Orthogonal high-pass from low-pass: hi[n] = (-1)^n lo[N-1-n]."""
     n = len(lo)
@@ -71,9 +107,8 @@ def filters(name: str):
     if name == "bior2.4":
         return _BIOR24_LO, _BIOR24_HI
     if name == "dmey":
-        raise NotImplementedError(
-            "dmey needs its 62-tap table; add it to hebbax/ops/wavelets.py "
-            "(pywt.Wavelet('dmey').dec_lo) to enable")
+        lo = _DMEY_REC_LO[::-1].copy()  # dec_lo = reversed rec_lo
+        return lo, _qmf(lo)
     raise ValueError(f"unknown wavelet {name!r}")
 
 

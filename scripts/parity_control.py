@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Accuracy-parity control run (SURVEY.md section 6 north-star).
+
+Trains the PyTorch REFERENCE (UNet_Transposed_Leaky + its own dice loss,
+/root/reference/train_sup_2d.py:207-242 reenacted on this host's torch —
+the script itself hard-requires CUDA and albumentations) and hebbax on
+the IDENTICAL synthetic dataset, identical decoded/normalized arrays,
+identical fixed batch order, identical optimizer config, and evaluates
+both with the IDENTICAL metric (hebbax's streaming 45-threshold sweep),
+then reports both val JI/Dice trajectories.
+
+Augmentation is disabled on both sides so the data stream is bitwise
+identical; initializations differ (each framework's own init), so the
+comparison is converged-accuracy parity, not per-step equality.
+
+Usage:  JAX_PLATFORMS=cpu python scripts/parity_control.py \
+            [--epochs 20] [--size 64] [--out /tmp/parity_control]
+Prints one JSON document with both trajectories and the final numbers.
+"""
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def load_module(path, name):
+    spec = importlib.util.spec_from_file_location(name, path)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def make_data(out, size, n_train=32, n_val=16, seed=0):
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import make_synth_data
+    if not os.path.exists(os.path.join(out, "train", "image")):
+        make_synth_data.make_2d(out, n_train, n_val, size, seed=seed)
+
+    from hebbax.config.datasets import dataset_cfg
+    from hebbax.data.dataset2d import SegDataset2D as Dataset2D
+    cfg = dataset_cfg("GlaS")
+    arrays = {}
+    for split in ("train", "val"):
+        ds = Dataset2D(os.path.join(out, split), "image", cfg["MEAN"],
+                       cfg["STD"], split=split, size=(size, size))
+        ds.host_augment = False  # resize+normalize only: identical stream
+        items = [ds.get(i) for i in range(len(ds))]
+        arrays[split] = (
+            np.stack([it["image"] for it in items]).astype(np.float32),
+            np.stack([it["mask"] for it in items]).astype(np.int32))
+    return arrays
+
+
+def batches(n, bs, epoch):
+    """Fixed deterministic order, same for both frameworks."""
+    idx = np.random.RandomState(1000 + epoch).permutation(n)
+    for s in range(0, n - bs + 1, bs):
+        yield idx[s:s + bs]
+
+
+def eval_metric(logits_fn, val_x, val_y, bs=8):
+    """hebbax's streaming 45-threshold sweep on any framework's logits."""
+    from hebbax.ops.metrics import make_accumulator
+    acc = make_accumulator(2)
+    for s in range(0, len(val_x), bs):
+        logits = logits_fn(val_x[s:s + bs])  # (B, H, W, 2) channels-last
+        acc.update(logits, val_y[s:s + bs])
+    thr, ji, dc = acc.finalize()
+    return float(thr), float(ji), float(dc)
+
+
+def run_hebbax(arrays, epochs, bs, lr, seed=0):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from hebbax.engine.state import TrainState
+    from hebbax.engine.steps import make_eval_step, make_sup_train_step
+    from hebbax.models import get_network
+    from hebbax.ops.losses import segmentation_loss
+
+    tr_x, tr_y = arrays["train"]
+    va_x, va_y = arrays["val"]
+    model = get_network("unet", 3, 2)
+    rngs = {"params": jax.random.PRNGKey(seed),
+            "dropout": jax.random.PRNGKey(seed + 1)}
+    variables = model.init(rngs, jnp.asarray(tr_x[:1]), train=False)
+    tx = optax.adam(lr)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables.get("batch_stats"),
+                       opt_state=tx.init(variables["params"]), step=0)
+    criterion = segmentation_loss("dice", False, num_classes=2)
+    step = make_sup_train_step(model, "unet", criterion, tx)
+    eval_step = make_eval_step(model, "unet")
+
+    traj = []
+    for epoch in range(epochs):
+        for i, b in enumerate(batches(len(tr_x), bs, epoch)):
+            batch = {"image": jnp.asarray(tr_x[b]),
+                     "mask": jnp.asarray(tr_y[b])}
+            state, out = step(state, batch,
+                              jax.random.PRNGKey(epoch * 1000 + i))
+        variables = state.variables
+
+        def fwd(x):
+            return np.asarray(
+                eval_step(variables, {"image": jnp.asarray(x)})["logits"])
+
+        traj.append(eval_metric(fwd, va_x, va_y))
+    return traj
+
+
+def run_torch_reference(arrays, epochs, bs, lr, seed=0):
+    import torch
+
+    u = load_module(os.path.join("/root/reference",
+                                 "models/networks_2d/unet.py"), "ref_unet")
+    sys.path.insert(0, "/root/reference")
+    from loss.loss_function import segmentation_loss as ref_loss
+
+    torch.manual_seed(seed)
+    tr_x, tr_y = arrays["train"]
+    va_x, va_y = arrays["val"]
+    model = u.UNet_Transposed_Leaky(3, 2).train()
+    criterion = ref_loss("dice", False)
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+
+    def to_nchw(x):
+        return torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
+
+    traj = []
+    for epoch in range(epochs):
+        model.train()
+        for b in batches(len(tr_x), bs, epoch):
+            opt.zero_grad()
+            out = model(to_nchw(tr_x[b]))
+            loss = criterion(out, torch.from_numpy(
+                tr_y[b][:, None].astype(np.int64)))
+            loss.backward()
+            opt.step()
+        model.eval()
+
+        def fwd(x):
+            with torch.no_grad():
+                out = model(to_nchw(x))
+            return np.transpose(out.numpy(), (0, 2, 3, 1))
+
+        traj.append(eval_metric(fwd, va_x, va_y))
+    return traj
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", default=20, type=int)
+    p.add_argument("--size", default=64, type=int)
+    p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--lr", default=1e-3, type=float)
+    p.add_argument("--out", default="/tmp/parity_control")
+    args = p.parse_args()
+
+    arrays = make_data(args.out, args.size)
+    ref = run_torch_reference(arrays, args.epochs, args.batch_size, args.lr)
+    heb = run_hebbax(arrays, args.epochs, args.batch_size, args.lr)
+    best_ref = max(t[2] for t in ref)
+    best_heb = max(t[2] for t in heb)
+    print(json.dumps({
+        "config": {"epochs": args.epochs, "size": args.size,
+                   "batch_size": args.batch_size, "lr": args.lr},
+        "reference_val_thr_ji_dice_per_epoch": ref,
+        "hebbax_val_thr_ji_dice_per_epoch": heb,
+        "best_val_dice": {"reference": round(best_ref, 4),
+                          "hebbax": round(best_heb, 4),
+                          "abs_diff": round(abs(best_ref - best_heb), 4)},
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()

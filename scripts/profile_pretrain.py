@@ -45,7 +45,7 @@ def timeit(fn, *args, iters=ITERS, warmup=2):
 
 def main():
     spec = HebbSpec(mode="swta_t", k=50.0, w_nrm=True, alpha=1.0,
-                    exclude=("Conv_1x1",))
+                    exclude=tuple(os.environ.get("PROFILE_EXCLUDE", "out_conv").split(",")))
     model = get_network("unet", 3, 2, hebb=spec)
     rngs = {"params": jax.random.PRNGKey(0),
             "dropout": jax.random.PRNGKey(1)}

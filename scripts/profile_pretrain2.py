@@ -26,7 +26,7 @@ ITERS = int(os.environ.get("BENCH_ITERS", "30"))
 
 def main():
     spec = HebbSpec(mode="swta_t", k=50.0, w_nrm=True, alpha=1.0,
-                    exclude=("Conv_1x1",))
+                    exclude=tuple(os.environ.get("PROFILE_EXCLUDE", "out_conv").split(",")))
     model = get_network("unet", 3, 2, hebb=spec)
     rngs = {"params": jax.random.PRNGKey(0),
             "dropout": jax.random.PRNGKey(1)}
@@ -79,7 +79,7 @@ def profile_trace():
     """Capture a jax.profiler trace of the head_only step."""
     import glob
     spec = HebbSpec(mode="swta_t", k=50.0, w_nrm=True, alpha=1.0,
-                    exclude=("Conv_1x1",))
+                    exclude=tuple(os.environ.get("PROFILE_EXCLUDE", "out_conv").split(",")))
     model = get_network("unet", 3, 2, hebb=spec)
     rngs = {"params": jax.random.PRNGKey(0),
             "dropout": jax.random.PRNGKey(1)}

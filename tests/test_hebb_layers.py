@@ -142,3 +142,30 @@ def test_cct_style_double_call_accumulates():
     flat = traverse_util.flatten_dict(state["hebb"])
     delta = flat[("conv1", "delta")]
     assert np.all(np.isfinite(np.asarray(delta)))
+
+
+def test_orthogonal_init_torch_semantics():
+    """torch nn.init.orthogonal_ flattens the weight to (dim0, rest) and
+    fills a semi-orthogonal matrix (networks_2d/unet.py:19) — verify the
+    hebbax initializer reproduces exactly that, for conv and transpose
+    layouts, with no silent fallback."""
+    import jax
+    import numpy as np
+
+    from hebbax.hebb.layers import torch_kernel_init
+
+    for transpose, shape in ((False, (3, 3, 4, 8)), (True, (2, 2, 6, 4)),
+                             (False, (3, 3, 3, 2, 16))):
+        nd = len(shape) - 2
+        init = torch_kernel_init("orthogonal", transpose=transpose, gain=1.0)
+        w = np.asarray(init(jax.random.PRNGKey(0), shape))
+        i, o = shape[nd], shape[nd + 1]
+        if transpose:  # (*k, I, O) -> torch (I, O, *k) -> 2D (I, O*rf)
+            t = np.transpose(w, (nd,) + (nd + 1,) + tuple(range(nd)))
+            m = t.reshape(i, -1)
+        else:          # (*k, I, O) -> torch (O, I, *k) -> 2D (O, I*rf)
+            t = np.transpose(w, (nd + 1,) + (nd,) + tuple(range(nd)))
+            m = t.reshape(o, -1)
+        rows = m.shape[0]
+        gram = m @ m.T if m.shape[1] >= rows else m.T @ m
+        np.testing.assert_allclose(gram, np.eye(gram.shape[0]), atol=1e-5)

@@ -111,3 +111,24 @@ def test_visualize_weights(tmp_path):
     tool.main(["--snapshot", str(tmp_path / "last.ckpt"),
                "--out", str(out)])
     assert out.exists()
+
+
+def test_dmey_filter_table():
+    """dmey: 62-tap discrete-Meyer table — sum sqrt(2), near-orthogonal
+    (the FIR truncation's known ~1e-3 deviation), pywt-compatible output
+    size floor((n+flen-1)/2)."""
+    import numpy as np
+
+    from hebbax.ops.wavelets import dwt2, filters
+
+    lo, hi = filters("dmey")
+    assert len(lo) == 62
+    np.testing.assert_allclose(lo.sum(), np.sqrt(2.0), rtol=1e-10)
+    np.testing.assert_allclose((lo ** 2).sum(), 1.0, atol=3e-3)
+    np.testing.assert_allclose(np.dot(lo, hi), 0.0, atol=1e-12)
+    img = np.random.default_rng(0).random((64, 64)).astype(np.float32)
+    ll, (lh, hl, hh) = dwt2(img, "dmey")
+    assert ll.shape == (62, 62) and hh.shape == (62, 62)
+    # LL of a constant image is (approximately) the constant * 2
+    const, _ = dwt2(np.ones((64, 64), np.float32), "dmey")
+    np.testing.assert_allclose(const[8:-8, 8:-8], 2.0, atol=2e-3)
