@@ -15,9 +15,15 @@ Surrogate gradients via jax.custom_vjp: Linear (Bellec'18,
 gamma=0.3 * relu(1-|x|)) and FastSigm/SuperSpike (Zenke'18,
 1/(100|x|+1)^2).
 
-TPU note: the timestep loop is unrolled (static T) because BNTT gives
-each timestep its own BN parameters; XLA still fuses each step's
-conv+BN+LIF chain.
+TPU note: the timestep loop is a lax.scan over STACKED per-timestep BN
+parameters/statistics ((T, C) arrays indexed by the scan counter), so
+the compiled program contains ONE timestep body instead of T copies —
+a 20x smaller program (first compile through the axon tunnel is
+20-120 s, CLAUDE.md).  The body is pure JAX (kernels are read from the
+module scope before the scan; BN running stats thread through the scan
+carry and are written back after), numerically identical to T separate
+flax BatchNorms (momentum 0.9, eps 1e-4, scale-only, biased batch
+variance in the running stats).
 """
 
 import functools
@@ -76,18 +82,6 @@ def avg_pool_3s2p1(x):
     return s / 9.0
 
 
-class _BNTT(nn.Module):
-    """Per-timestep scale-only BatchNorm (snn_vgg.py:134-135,198-204)."""
-
-    timesteps: int = TIMESTEPS
-
-    @nn.compact
-    def __call__(self, x, t: int, train: bool):
-        return nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-4,
-            use_bias=False, name=f"bn_t{t}")(x)
-
-
 def _xavier_gain2(key, shape, dtype=jnp.float32):
     """xavier_uniform_(gain=2) on a torch (O,I,kh,kw) weight
     (snn_vgg.py:207-209)."""
@@ -99,8 +93,22 @@ def _xavier_gain2(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -a, a)
 
 
+def _conv2d(x, kernel, dilation=1, padding=1):
+    """Bias-free NHWC conv (pure lax — callable inside the scan body)."""
+    return lax.conv_general_dilated(
+        x, kernel, (1, 1), [(padding, padding)] * 2,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class SNNVGG(nn.Module):
-    """SNN_VGG dl-vgg9 (snn_vgg.py:33-478)."""
+    """SNN_VGG dl-vgg9 (snn_vgg.py:33-478).
+
+    The timestep loop is a lax.scan; BNTT parameters and running stats
+    are stacked (T, C) arrays indexed by the scan counter (see module
+    docstring).  Conv kernels are plain ``self.param`` HWIO arrays so the
+    scan body stays pure JAX (flax modules cannot be called inside a raw
+    lax.scan)."""
 
     in_channels: int
     n_cls: int
@@ -110,48 +118,87 @@ class SNNVGG(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        conv = functools.partial(nn.Conv, use_bias=False,
-                                 kernel_init=_xavier_gain2,
-                                 dtype=self.dtype)
-        # the reference hardcodes 3 input channels (snn_vgg.py:108)
-        feats = [conv(c, (3, 3), padding=1, name=f"feat{i}")
-                 if i < ATROUS_FROM else
-                 conv(c, (3, 3), padding=2, kernel_dilation=2,
-                      name=f"feat{i}")
-                 for i, c in enumerate(FEATURES)]
-        feat_bns = [_BNTT(self.timesteps, name=f"feat_bn{i}")
-                    for i in range(len(FEATURES))]
-        cls_atrous = conv(1024, (3, 3), padding=12, kernel_dilation=12,
-                          name="cls_atrous")
-        cls_bn = _BNTT(self.timesteps, name="cls_bn")
-        out_conv = conv(self.n_cls, (1, 1), padding=0, name="output")
+        t_total = self.timesteps
+        sites = []  # (kernel, dilation, padding, features) per LIF site
+        c_in = x.shape[-1]
+        for idx, c in enumerate(FEATURES):
+            dil = 1 if idx < ATROUS_FROM else 2
+            k = self.param(f"feat{idx}", _xavier_gain2, (3, 3, c_in, c))
+            sites.append((k, dil, dil, c))
+            c_in = c
+        k_cls = self.param("cls_atrous", _xavier_gain2, (3, 3, c_in, 1024))
+        sites.append((k_cls, 12, 12, 1024))
+        k_out = self.param("output", _xavier_gain2,
+                           (1, 1, 1024, self.n_cls))
+
+        # stacked scale-only BNTT params + running stats, (T, C) each
+        bn_names = [f"feat_bn{i}" for i in range(len(FEATURES))] + \
+            ["cls_bn"]
+        scales = [self.param(f"{n}_scale", lambda key, s: jnp.ones(s),
+                             (t_total, site[3]))
+                  for n, site in zip(bn_names, sites)]
+        ra_means = [self.variable("batch_stats", f"{n}_mean",
+                                  jnp.zeros, (t_total, site[3]))
+                    for n, site in zip(bn_names, sites)]
+        ra_vars = [self.variable("batch_stats", f"{n}_var",
+                                 jnp.ones, (t_total, site[3]))
+                   for n, site in zip(bn_names, sites)]
 
         h, w = x.shape[1], x.shape[2]
-        mems = [None] * (len(FEATURES) + 1)
-        out_mem = jnp.zeros(x.shape[:1] + (h // 4, w // 4, self.n_cls),
-                            x.dtype)
-
         base_key = (self.make_rng("poisson") if self.has_rng("poisson")
                     else jax.random.PRNGKey(0))
+        grad_type = self.grad_type
+        mean0 = [m.value for m in ra_means]
+        var0 = [v.value for v in ra_vars]
 
-        def lif(mem, layer, bn, inp, t):
-            pre = bn(layer(inp), t, train)
-            mem = (LEAK * mem if mem is not None else 0.0) + pre
-            thr = mem / THRESHOLD - 1.0
-            out = spike(thr, self.grad_type)
-            mem = mem - (thr > 0) * THRESHOLD
-            return mem, out
+        def bn(pre, s, t, means, varis):
+            """Scale-only BN at timestep t; flax semantics: train
+            normalizes with batch stats and blends them into the running
+            stats (momentum 0.9, biased variance); eval uses running."""
+            if train:
+                mu = jnp.mean(pre, axis=(0, 1, 2))
+                var = jnp.var(pre, axis=(0, 1, 2))
+                means = means.at[t].set(0.9 * means[t] + 0.1 * mu)
+                varis = varis.at[t].set(0.9 * varis[t] + 0.1 * var)
+            else:
+                mu, var = means[t], varis[t]
+            y = scales[s][t] * (pre - mu) * lax.rsqrt(var + 1e-4)
+            return y, means, varis
 
-        for t in range(self.timesteps):
+        def body(carry, t):
+            mems, out_mem, means, varis = carry
             out_prev = poisson_spikes(jax.random.fold_in(base_key, t), x)
-            for k in range(len(FEATURES)):
-                mems[k], out_prev = lif(mems[k], feats[k], feat_bns[k],
-                                        out_prev, t)
-                if k in POOL_AFTER:
+            mems2, means2, varis2 = [], [], []
+            for s, (kernel, dil, pad, _) in enumerate(sites):
+                pre = _conv2d(out_prev, kernel, dil, pad)
+                pre, m_new, v_new = bn(pre, s, t, means[s], varis[s])
+                means2.append(m_new)
+                varis2.append(v_new)
+                mem = LEAK * mems[s] + pre
+                thr = mem / THRESHOLD - 1.0
+                out_prev = spike(thr, grad_type)
+                mems2.append(mem - (thr > 0) * THRESHOLD)
+                if s in POOL_AFTER:
                     out_prev = avg_pool_3s2p1(out_prev)
-            mems[-1], out_prev = lif(mems[-1], cls_atrous, cls_bn,
-                                     out_prev, t)
-            out_mem = out_mem + out_conv(out_prev)
+            out_mem = out_mem + _conv2d(out_prev, k_out, 1, 0)
+            return (tuple(mems2), out_mem, tuple(means2),
+                    tuple(varis2)), None
+
+        # membrane shapes: track through the pools statically
+        mems0, hh, ww = [], h, w
+        for s, (_, _, _, c) in enumerate(sites):
+            mems0.append(jnp.zeros(x.shape[:1] + (hh, ww, c), x.dtype))
+            if s in POOL_AFTER:
+                hh, ww = -(-hh // 2), -(-ww // 2)
+        out_mem0 = jnp.zeros(x.shape[:1] + (hh, ww, self.n_cls), x.dtype)
+
+        carry0 = (tuple(mems0), out_mem0, tuple(mean0), tuple(var0))
+        (mems, out_mem, means, varis), _ = lax.scan(
+            body, carry0, jnp.arange(t_total))
+        if train and not self.is_initializing():
+            for s in range(len(sites)):
+                ra_means[s].value = means[s]
+                ra_vars[s].value = varis[s]
 
         out = out_mem / self.timesteps
         return resize_linear_align_corners(out, (h, w))
