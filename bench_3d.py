@@ -77,6 +77,58 @@ def torch_control_volumes_per_sec(n_ctrl_patches=2):
         return None
 
 
+def torch_control_train_steps_per_sec(iters=1):
+    """The reference's 3D supervised train step (train_sup_3d.py:191-239:
+    unet3d(1,2), dice loss, SGD lr 0.1 momentum 0.9, bs=1) on this host's
+    torch backend — the denominator for the train-throughput metric."""
+    try:
+        import importlib.util
+        import sys
+
+        import torch
+
+        def load(path, name):
+            spec = importlib.util.spec_from_file_location(name, path)
+            m = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(m)
+            return m
+
+        ref = "/root/reference"
+        u = load(os.path.join(ref, "models/networks_3d/unet3d.py"),
+                 "ref_unet3d")
+        sys.path.insert(0, ref)
+        from loss.loss_function import segmentation_loss as ref_loss
+
+        device = "cuda" if torch.cuda.is_available() else "cpu"
+        model = u.unet3d(1, 2).to(device).train()
+        criterion = ref_loss("dice", False)
+        opt = torch.optim.SGD(model.parameters(), lr=0.1, momentum=0.9)
+        rng = np.random.RandomState(4)
+        x = torch.from_numpy(
+            rng.rand(1, 1, *PATCH).astype(np.float32)).to(device)
+        y = torch.from_numpy(rng.randint(
+            0, 2, (1, 1) + PATCH).astype(np.int64)).to(device)
+
+        def one_step():
+            opt.zero_grad()
+            loss = criterion(model(x), y)
+            loss.backward()
+            opt.step()
+
+        one_step()  # warmup
+        if device == "cuda":
+            torch.cuda.synchronize()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            one_step()
+        if device == "cuda":
+            torch.cuda.synchronize()
+        return iters / (time.perf_counter() - t0)
+    except Exception as e:  # torch missing / OOM: report unmeasured
+        print(f"# torch 3d train control failed: {e}", flush=True)
+        return None
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -119,11 +171,22 @@ def main():
             state, out = step(state, batch, key)
         jax.block_until_ready(out["loss"])
         dt = (time.perf_counter() - t0) / iters
+        # the torch step is ~2 min on this host's CPU; measured once
+        # (0.00784 steps/s) and overridable so repeat bench runs can skip
+        # the re-measure with BENCH3D_TRAIN_CONTROL=0.00784
+        env_ctrl = os.environ.get("BENCH3D_TRAIN_CONTROL")
+        ctrl = (float(env_ctrl) if env_ctrl else
+                None if os.environ.get("BENCH3D_SKIP_CONTROL")
+                else torch_control_train_steps_per_sec())
+        unit = "patches/s (bs=1, 96x96x80)"
+        if ctrl:
+            unit += f"; torch-cpu control {ctrl:.3f} steps/s"
         print(json.dumps(
             {"metric": "atrial3d_unet3d_train_patches_per_sec",
              "value": round(1 / dt, 2),
-             "unit": "patches/s (bs=1, 96x96x80)",
-             "vs_baseline": None}), flush=True)
+             "unit": unit,
+             "vs_baseline": round((1 / dt) / ctrl, 2) if ctrl else None}),
+            flush=True)
     if os.environ.get("BENCH3D_SKIP_INFER"):
         return
 
