@@ -55,15 +55,10 @@ def bench_hebbax():
     step = make_sup_train_step(model, "unet", criterion, tx)
     batch = {"image": images, "mask": masks}
     key = jax.random.PRNGKey(2)
-    for _ in range(WARMUP):
-        state, out = step(state, batch, key)
-    jax.block_until_ready(out["loss"])
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, out = step(state, batch, key)
-    jax.block_until_ready(out["loss"])
-    dt = time.perf_counter() - t0
-    return ITERS / dt, ITERS * BATCH / dt
+    from hebbax.utils.timing import measure_step
+    dt = measure_step(step, state, batch, key,
+                      n1=ITERS, n2=3 * ITERS, warmup=WARMUP)
+    return 1 / dt, BATCH / dt
 
 
 def bench_torch_reference():
@@ -151,15 +146,10 @@ def bench_hebbax_pretrain():
                                backprop_only=spec.exclude)
     batch = {"image": images, "mask": masks}
     key = jax.random.PRNGKey(2)
-    for _ in range(WARMUP):
-        state, out = step(state, batch, key)
-    jax.block_until_ready(out["loss"])
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, out = step(state, batch, key)
-    jax.block_until_ready(out["loss"])
-    dt = time.perf_counter() - t0
-    return ITERS / dt, ITERS * BATCH / dt
+    from hebbax.utils.timing import measure_step
+    dt = measure_step(step, state, batch, key,
+                      n1=ITERS, n2=3 * ITERS, warmup=WARMUP)
+    return 1 / dt, BATCH / dt
 
 
 def bench_torch_pretrain_reference():

@@ -159,18 +159,16 @@ def main():
                        opt_state=tx.init(variables["params"]), step=0)
     criterion = segmentation_loss("dice", False, num_classes=2)
     if not skip_train:
+        from hebbax.utils.timing import measure_step
         step = make_sup_train_step(model, "unet3d", criterion, tx)
         batch = {"image": img, "mask": msk}
         key = jax.random.PRNGKey(2)
-        for _ in range(3):
-            state, out = step(state, batch, key)
-        jax.block_until_ready(out["loss"])
-        iters = 20
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, out = step(state, batch, key)
-        jax.block_until_ready(out["loss"])
-        dt = (time.perf_counter() - t0) / iters
+        dt = measure_step(step, state, batch, key, n1=10, n2=30)
+        state = None  # donated through measure_step's chain
+        variables = model.init(rngs, img, train=False)
+        state = TrainState(params=variables["params"],
+                           batch_stats=variables.get("batch_stats"),
+                           opt_state=tx.init(variables["params"]), step=0)
         # the torch step is ~2 min on this host's CPU; measured once
         # (0.00784 steps/s) and overridable so repeat bench runs can skip
         # the re-measure with BENCH3D_TRAIN_CONTROL=0.00784

@@ -117,12 +117,20 @@ class HConv(nn.Module):
         w = w.astype(dtype)
         x = x.astype(dtype)
 
-        if any(pad):
-            cfg = [(0, 0)] + [(p, p) for p in pad] + [(0, 0)]
-            x = jnp.pad(x, cfg)
-
-        fwd = rules.conv_transpose_fwd if self.transpose else rules.conv_fwd
-        y = fwd(x, w, strides)
+        # Forward convs pad NATIVELY inside the conv op: a materialized
+        # jnp.pad + VALID costs a full activation copy/relayout per conv
+        # on TPU.  Transpose convs keep the reference's manual input
+        # padding (hebb.py:221-232) — every transpose site in the model
+        # zoo is pad=0, so nothing materializes there either.
+        pad_cfg = None
+        if self.transpose:
+            if any(pad):
+                cfg = [(0, 0)] + [(p, p) for p in pad] + [(0, 0)]
+                x = jnp.pad(x, cfg)
+            y = rules.conv_transpose_fwd(x, w, strides)
+        else:
+            pad_cfg = tuple((p, p) for p in pad)
+            y = rules.conv_fwd(x, w, strides, pad_cfg)
         if bias is not None:
             y = y + bias.astype(dtype)
 
@@ -139,7 +147,8 @@ class HConv(nn.Module):
                 x.astype(ddt), y.astype(ddt),
                 strides, self.transpose, key=key,
                 bias=None if bias is None
-                else jax.lax.stop_gradient(bias).astype(ddt))
+                else jax.lax.stop_gradient(bias).astype(ddt),
+                padding=pad_cfg)
             delta = delta.astype(jnp.float32)
             # shared decoders (CCT) call the same conv several times per
             # step; accumulate like the reference's `delta_w +=`.
@@ -154,3 +163,94 @@ class HConvTranspose(HConv):
     padding semantics: input padded manually, hebb.py:221-232)."""
 
     transpose: bool = True
+
+
+class FoldedHConv(nn.Module):
+    """HConv computed in space-to-depth folded layout (ops/s2d.py).
+
+    Parameters are IDENTICAL to HConv — the original (k, k, Ci, Co)
+    kernel and (Co,) bias — so checkpoints, Hebbian exclusion paths and
+    param-count parity are unchanged; only the compute layout differs
+    (the structured folded kernel makes small-C convs MXU-shaped).
+    Exact-equivalence with HConv is asserted in tests/test_s2d.py.
+
+    Input/output are FOLDED tensors; ``in_groups`` gives the original
+    channel counts of the folded input's concatenated sources.  Only
+    stride-1 forward convs (the folded call sites) are supported.
+    Hebbian modes: swta / hpca (the _t modes resolve to these on
+    forward convs; no folded site is a transpose conv).
+    """
+
+    features: int
+    kernel_size: int
+    in_groups: Sequence[int]
+    use_bias: bool = True
+    hebb: Optional[HebbSpec] = None
+    init_type: str = "kaiming"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ..ops import s2d
+
+        k = int(self.kernel_size)
+        ci = sum(self.in_groups)
+        assert x.shape[-1] == 4 * ci, (x.shape, self.in_groups)
+        kernel = self.param(
+            "kernel", torch_kernel_init(self.init_type, False),
+            (k, k, ci, self.features))
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,))
+                if self.use_bias else None)
+
+        spec = spec_if_active(self.hebb, self.path)
+        dtype = self.dtype or x.dtype
+        w = kernel
+        if spec is not None and spec.w_nrm:
+            w = rules.normalize(w, rules.weight_norm_axes(2, False))
+        w = w.astype(dtype)
+        x = x.astype(dtype)
+
+        in_groups = tuple(int(g) for g in self.in_groups)
+        wf = s2d.fold_conv_kernel(w, in_groups)
+        pad = ((k // 2, k // 2),) * 2
+        y = rules.conv_fwd(x, wf, (1, 1), pad)
+        if bias is not None:
+            y = y + s2d.fold_bias(bias.astype(dtype))
+
+        if spec is not None and train and spec.alpha != 0:
+            mode = spec.conv_mode(False)
+            if mode not in ("swta", "hpca"):
+                raise NotImplementedError(
+                    f"FoldedHConv supports swta/hpca, got {mode!r}")
+            ddt = rules.delta_compute_dtype()
+            w_d = jax.lax.stop_gradient(kernel).astype(ddt)
+            x_d = jax.lax.stop_gradient(x).astype(ddt)
+            y_d = jax.lax.stop_gradient(y).astype(ddt)
+            co = self.features
+            if mode == "swta":
+                r = s2d.per_subpixel(
+                    lambda t: jax.nn.softmax(spec.k * t, axis=-1), y_d,
+                    co)
+                cot = r
+            else:
+                cot = y_d
+            wf_shape = s2d.folded_kernel_shape(k, in_groups, co)
+            pos_f = rules._wgrad(rules.conv_fwd, x_d, wf_shape, cot,
+                                 (1, 1), pad)
+            pos = s2d.unfold_wgrad(pos_f, k, in_groups, co)
+            if mode == "swta":
+                r_sum = jnp.sum(r.reshape(-1, co), axis=0)
+                delta = pos - r_sum * w_d
+            else:
+                yf = cot.reshape(-1, 4, co).reshape(-1, co)
+                m = yf.T @ yf
+                dec = jnp.einsum(
+                    "ab,...b->...a",
+                    m * rules._sanger_tril(co, w_d.dtype), w_d)
+                delta = pos - dec
+            self.sow("hebb", "delta",
+                     jax.lax.stop_gradient(delta.astype(jnp.float32)),
+                     init_fn=lambda: 0.0,
+                     reduce_fn=lambda acc, v: acc + v)
+        return y

@@ -148,19 +148,28 @@ def _fits_vmem(w, x, y):
     return 2 * (xb + yb) + acc < _VMEM_BUDGET
 
 
-def swta_delta(w, x, y, k_temp, strides):
+def swta_delta(w, x, y, k_temp, strides, padding=None):
     """Dispatcher: fused Pallas kernel when eligible (TPU, 2D, stride 1,
     fits VMEM, lane-friendly shape; disable with HEBBAX_DISABLE_PALLAS),
     else the XLA rule.  The shape gate keeps Mosaic to layouts it has
     validated (W a lane multiple, H a sublane-chunk multiple) — the
-    full-resolution layers, which dominate the update FLOPs."""
+    full-resolution layers, which dominate the update FLOPs.
+
+    padding: native-padding config when x is unpadded (the kernel needs
+    a materialized pad; the XLA rule pads inside the conv)."""
     from . import rules
     if (pallas_available() and w.ndim == 4
-            and tuple(strides) == (1, 1) and _fits_vmem(w, x, y)
+            and tuple(strides) == (1, 1)
             and y.shape[2] % 128 == 0 and y.shape[1] % 8 == 0):
-        return swta_delta_pallas(w, lax.stop_gradient(x),
-                                 lax.stop_gradient(y), k_temp)
-    return rules.swta_conv_delta(w, x, y, k_temp, tuple(strides))
+        xp = x
+        if padding is not None and any(lo or hi for lo, hi in padding):
+            xp = jnp.pad(x, [(0, 0)] + [list(p) for p in padding]
+                         + [(0, 0)])
+        if _fits_vmem(w, xp, y):
+            return swta_delta_pallas(w, lax.stop_gradient(xp),
+                                     lax.stop_gradient(y), k_temp)
+    return rules.swta_conv_delta(w, x, y, k_temp, tuple(strides),
+                                 padding=padding)
 
 
 @functools.lru_cache(maxsize=1)

@@ -49,11 +49,16 @@ def _specs(nd):
     return "N" + sp + "C", sp + "IO", "N" + sp + "C"
 
 
-def conv_fwd(x, w, strides):
-    """VALID cross-correlation, channels-last; x must be pre-padded."""
+def conv_fwd(x, w, strides, padding=None):
+    """Cross-correlation, channels-last.  padding=None means VALID on a
+    pre-padded x (the torch-parity test convention); otherwise a
+    per-spatial-dim ((lo, hi), ...) config applied NATIVELY by XLA — no
+    materialized padded copy (the jnp.pad+VALID pattern costs a full
+    activation relayout per conv on TPU)."""
     nd = x.ndim - 2
     return lax.conv_general_dilated(
-        x, w, window_strides=strides, padding="VALID",
+        x, w, window_strides=strides,
+        padding="VALID" if padding is None else list(padding),
         dimension_numbers=_specs(nd))
 
 
@@ -70,12 +75,15 @@ def conv_transpose_fwd(x, w, strides):
         dimension_numbers=_specs(nd))
 
 
-def _wgrad(fwd, x, w_shape, cotangent, strides):
+def _wgrad(fwd, x, w_shape, cotangent, strides, padding=None):
     """d/dw <fwd(x, w), cotangent> — the unfold correlation, as a
     weight-gradient conv.  fwd is linear in w, so the primal value of w
     is irrelevant; zeros are used."""
     zero_w = jnp.zeros(w_shape, x.dtype)
-    _, vjp = jax.vjp(lambda w_: fwd(x, w_, strides), zero_w)
+    if padding is None:
+        _, vjp = jax.vjp(lambda w_: fwd(x, w_, strides), zero_w)
+    else:
+        _, vjp = jax.vjp(lambda w_: fwd(x, w_, strides, padding), zero_w)
     return vjp(cotangent)[0]
 
 
@@ -103,12 +111,12 @@ def weight_norm_axes(nd, transpose):
 # (hebb.py:243-246).
 # ---------------------------------------------------------------------------
 
-def swta_conv_delta(w, x, y, k, strides):
+def swta_conv_delta(w, x, y, k, strides, padding=None):
     """dw = <softmax(k y), x_patches> - (sum softmax) * w."""
     x = lax.stop_gradient(x)
     y = lax.stop_gradient(y)
     r = jax.nn.softmax(k * y, axis=-1)
-    pos = _wgrad(conv_fwd, x, w.shape, r, strides)
+    pos = _wgrad(conv_fwd, x, w.shape, r, strides, padding)
     r_sum = jnp.sum(r, axis=tuple(range(r.ndim - 1)))  # (O,)
     return pos - r_sum * w
 
@@ -131,11 +139,11 @@ def _sanger_tril(o, dtype, chunk=None):
     return tril
 
 
-def hpca_conv_delta(w, x, y, strides, chunk=None):
+def hpca_conv_delta(w, x, y, strides, chunk=None, padding=None):
     """Sanger's rule: dw = <y, x_patches> - tril(y y^T) @ w."""
     x = lax.stop_gradient(x)
     y = lax.stop_gradient(y)
-    pos = _wgrad(conv_fwd, x, w.shape, y, strides)
+    pos = _wgrad(conv_fwd, x, w.shape, y, strides, padding)
     yf = y.reshape(-1, y.shape[-1])
     m = yf.T @ yf                                     # (O, O)
     dec = jnp.einsum("ab,...b->...a",
@@ -228,15 +236,24 @@ def _neighborhood_sum(y):
 
 
 def contrastive_delta(w, x, key, strides, transpose, w_nrm, contrast=1.0,
-                      uniformity=False, bias=None):
+                      uniformity=False, bias=None, padding=None):
     """dw = d/dw sum[-nbr(y) . y + contrast * nbr(y)[perm] . y], where
     y = fwd(x, normalize(w)) is L2-normalized over channels and perm
     shuffles the batch.  Note the sign: the reference *adds* this gradient
     to delta_w and local_update negates it, producing ascent on the
-    objective — replicated exactly."""
+    objective — replicated exactly.
+
+    padding: native conv padding (forward convs only).  Identical math to
+    the pre-padded x + VALID convention: padded zeros L2-normalize to
+    zero, so their umap/objective contributions vanish either way."""
     x = lax.stop_gradient(x)
-    fwd = conv_transpose_fwd if transpose else conv_fwd
     nd = x.ndim - 2
+    if transpose:
+        def fwd(x_, w_, s_):
+            return conv_transpose_fwd(x_, w_, s_)
+    else:
+        def fwd(x_, w_, s_):
+            return conv_fwd(x_, w_, s_, padding)
     perm = jax.random.permutation(key, x.shape[0])
 
     def objective(w_):
@@ -265,10 +282,15 @@ def contrastive_delta(w, x, key, strides, transpose, w_nrm, contrast=1.0,
 # Dispatch
 # ---------------------------------------------------------------------------
 
-def compute_delta(spec, w, x, y, strides, transpose, key=None, bias=None):
+def compute_delta(spec, w, x, y, strides, transpose, key=None, bias=None,
+                  padding=None):
     """Route to the configured rule.  For transpose layers with a non-_t
     mode, the conv rule runs with x<->y swapped and the kernel I/O axes
-    transposed (hebb.py:243-246)."""
+    transposed (hebb.py:243-246).
+
+    padding: native conv padding for forward-conv rules (None = x is
+    pre-padded, the torch-parity test convention).  Transpose layers
+    never pad in the model zoo, so the _t rules don't take it."""
     if not spec.patchwise:
         raise NotImplementedError(
             "patchwise=False is dead code in the reference (shape-"
@@ -277,7 +299,8 @@ def compute_delta(spec, w, x, y, strides, transpose, key=None, bias=None):
     nd = x.ndim - 2
     if mode == "contrastive":
         return contrastive_delta(w, x, key, strides, transpose, spec.w_nrm,
-                                 spec.contrast, spec.uniformity, bias)
+                                 spec.contrast, spec.uniformity, bias,
+                                 padding=None if transpose else padding)
     if transpose and mode in ("swta", "hpca"):
         w_sw = jnp.swapaxes(w, nd, nd + 1)
         if mode == "swta":
@@ -292,9 +315,9 @@ def compute_delta(spec, w, x, y, strides, transpose, key=None, bias=None):
         # fused Pallas kernel on TPU for 2D stride-1 (the hot path);
         # XLA-composed rule otherwise
         from .pallas_kernels import swta_delta
-        return swta_delta(w, x, y, spec.k, strides)
+        return swta_delta(w, x, y, spec.k, strides, padding=padding)
     if mode == "hpca":
-        return hpca_conv_delta(w, x, y, strides)
+        return hpca_conv_delta(w, x, y, strides, padding=padding)
     if mode == "swta_t":
         if not transpose:
             raise ValueError("swta_t only applies to transpose convs")

@@ -20,6 +20,7 @@ from .ddpm import DDPMUNet
 from .snn import ANNVGG, SNNVGG
 from .unet2d import (UNet2D, UNetCCT2D, UNetSuperpix2D, UNetURPC2D,
                      UNetVAE2D)
+from .unet2d_s2d import UNet2DS2D
 from .unet3d import UNet3D, UNet3DCCT, UNet3DDTC, UNet3DSuperpix, UNet3DVAE
 from .urpc3d import UNet3DURPC
 from .vnet import VNet, VNetCCT, VNetDTC
@@ -28,6 +29,9 @@ from .vnet import VNet, VNetCCT, VNetDTC
 _REGISTRY = {
     # 2D
     "unet": (UNet2D, dict(nd=2, outputs="single")),
+    # space-to-depth folded UNet2D: same params/checkpoints as "unet",
+    # MXU-shaped compute layout (models/unet2d_s2d.py) — TPU fast path
+    "unet_s2d": (UNet2DS2D, dict(nd=2, outputs="single")),
     "unet_urpc": (UNetURPC2D, dict(nd=2, outputs="deep4")),
     "unet_cct": (UNetCCT2D, dict(nd=2, outputs="deep4",
                                  rngs=("perturb",))),

@@ -49,19 +49,21 @@ def main():
     else:
         raise SystemExit(f"unknown {which}")
 
-    jfn = jax.jit(fn)
-    compiled = jfn.lower(variables, images).compile()
-    ca = compiled.cost_analysis()
+    # chained + fetch-forced (see hebbax.utils.timing): the carry is the
+    # image, nudged by the output so repeated dispatches can't be elided
+    @jax.jit
+    def step(imgs, variables):
+        out = fn(variables, imgs)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        nudge = (1 + 1e-30 * jnp.sum(leaf)).astype(imgs.dtype)
+        return imgs * nudge, out
+
+    ca = jax.jit(fn).lower(variables, images).compile().cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
-    for _ in range(3):
-        out = compiled(variables, images)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = compiled(variables, images)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / ITERS * 1e3
+    from hebbax.utils.timing import measure_step
+    dt = measure_step(step, images, variables,
+                      n1=ITERS, n2=3 * ITERS) * 1e3
     print(f"{which}: {dt:.3f} ms  flops={ca.get('flops', 0)/1e9:.2f}G  "
           f"bytes={ca.get('bytes accessed', 0)/1e6:.1f}MB", flush=True)
 

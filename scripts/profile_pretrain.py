@@ -8,6 +8,7 @@ Times (bs=BENCH_BATCH, 128x128, unet, swta_t spec):
   fwd_plain - forward without deltas (train=False)
 """
 
+import functools
 import os
 import sys
 import time
@@ -32,15 +33,12 @@ ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 
 
 def timeit(fn, *args, iters=ITERS, warmup=2):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+    """Fetch-forced chained timing: fn's first arg must be a carry that
+    fn returns updated (see hebbax.utils.timing for why plain
+    block_until_ready loops are invalid through the axon tunnel)."""
+    from hebbax.utils.timing import measure_step
+    return measure_step(fn, *args, n1=iters, n2=3 * iters,
+                        warmup=warmup) * 1e3
 
 
 def main():
@@ -80,18 +78,10 @@ def main():
                 s2, out = step(s, batch, key)
                 return s2, out["loss"]
 
-            # manual warm/time keeping state threaded
-            s = state
-            for _ in range(2):
-                s, loss = run(s)
-            jax.block_until_ready(loss)
-            t0 = time.perf_counter()
-            for _ in range(ITERS):
-                s, loss = run(s)
-            jax.block_until_ready(loss)
-            results[name] = (time.perf_counter() - t0) / ITERS * 1e3
-            print(f"{name}: {results[name]:.3f} ms  loss={float(loss):.4f}",
-                  flush=True)
+            from hebbax.utils.timing import measure_step
+            results[name] = measure_step(
+                run, state, n1=ITERS, n2=3 * ITERS, warmup=2) * 1e3
+            print(f"{name}: {results[name]:.3f} ms", flush=True)
 
     if which in ("all", "fwd"):
         @jax.jit
@@ -106,10 +96,37 @@ def main():
             return model.apply({"params": params, "batch_stats": bs},
                                images, train=False)
 
+        def chained(fn):
+            """Make an argument-invariant forward measurable: thread the
+            input image as a carry nudged by the output (the tunnel
+            elides repeated identical dispatches)."""
+            @jax.jit
+            def step(imgs, params, bs):
+                out = fn(params, bs, imgs)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                nudge = (1 + 1e-30 * jnp.sum(leaf)).astype(imgs.dtype)
+                return imgs * nudge, out
+            return step
+
+        @functools.partial(jax.jit, static_argnums=())
+        def fwd_hebb_img(params, bs, imgs):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": bs}, imgs, train=True,
+                rngs={"dropout": jax.random.PRNGKey(0),
+                      "hebb": jax.random.PRNGKey(1)},
+                mutable=["batch_stats", "hebb"])
+            return out
+
+        def fwd_plain_img(params, bs, imgs):
+            return model.apply({"params": params, "batch_stats": bs},
+                               imgs, train=False)
+
         st = fresh_state()
-        results["fwd_hebb"] = timeit(fwd_hebb, st.params, st.batch_stats)
+        results["fwd_hebb"] = timeit(chained(fwd_hebb_img), images,
+                                     st.params, st.batch_stats)
         print(f"fwd_hebb: {results['fwd_hebb']:.3f} ms", flush=True)
-        results["fwd_plain"] = timeit(fwd_plain, st.params, st.batch_stats)
+        results["fwd_plain"] = timeit(chained(fwd_plain_img), images,
+                                      st.params, st.batch_stats)
         print(f"fwd_plain: {results['fwd_plain']:.3f} ms", flush=True)
 
     print({k: round(v, 3) for k, v in results.items()})

@@ -61,16 +61,10 @@ def main():
             ca = ca[0]
         flops = ca.get("flops", float("nan"))
         bytes_ = ca.get("bytes accessed", float("nan"))
-        s = state
-        for _ in range(3):
-            s, out = compiled(s, batch, key)
-        jax.block_until_ready(out["loss"])
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            s, out = compiled(s, batch, key)
-        jax.block_until_ready(out["loss"])
-        dt = (time.perf_counter() - t0) / ITERS * 1e3
-        print(f"{name}: {dt:.3f} ms  loss={float(out['loss']):.4f}  "
+        from hebbax.utils.timing import measure_step
+        dt = measure_step(compiled, state, batch, key,
+                          n1=ITERS, n2=3 * ITERS) * 1e3
+        print(f"{name}: {dt:.3f} ms  "
               f"flops={flops/1e9:.2f}G  bytes={bytes_/1e6:.1f}MB",
               flush=True)
 

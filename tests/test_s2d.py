@@ -1,0 +1,160 @@
+"""Space-to-depth folded UNet2D: exact equivalence with UNet2D.
+
+The folded variant (models/unet2d_s2d.py) must be a pure LAYOUT change:
+same parameter tree, same outputs, same Hebbian deltas, same BN batch
+stats.  Dropout draws different positions across layouts, so the
+train-mode checks monkeypatch nn.Dropout to identity in BOTH models.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from hebbax.hebb.spec import HebbSpec
+from hebbax.models import get_network
+from hebbax.ops import s2d
+
+
+def test_fold_unfold_roundtrip():
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 3),
+                    jnp.float32)
+    np.testing.assert_array_equal(np.asarray(s2d.unfold(s2d.fold(x))),
+                                  np.asarray(x))
+
+
+def test_folded_conv_exact():
+    """Folded conv == original 3x3 pad-1 conv, including edges."""
+    from hebbax.hebb import rules
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.rand(2, 16, 16, 5), jnp.float32)
+    w = jnp.asarray(rs.rand(3, 3, 5, 7) - 0.5, jnp.float32)
+    ref = rules.conv_fwd(x, w, (1, 1), ((1, 1), (1, 1)))
+    wf = s2d.fold_conv_kernel(w, (5,))
+    got = s2d.unfold(rules.conv_fwd(s2d.fold(x), wf, (1, 1),
+                                    ((1, 1), (1, 1))))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_folded_conv_grouped_concat():
+    """Folded concat of two sources == original concat, via in_groups."""
+    from hebbax.hebb import rules
+
+    rs = np.random.RandomState(2)
+    a = jnp.asarray(rs.rand(2, 8, 8, 3), jnp.float32)
+    b = jnp.asarray(rs.rand(2, 8, 8, 4), jnp.float32)
+    w = jnp.asarray(rs.rand(3, 3, 7, 6) - 0.5, jnp.float32)
+    ref = rules.conv_fwd(jnp.concatenate([a, b], -1), w, (1, 1),
+                         ((1, 1), (1, 1)))
+    xf = jnp.concatenate([s2d.fold(a), s2d.fold(b)], -1)
+    wf = s2d.fold_conv_kernel(w, (3, 4))
+    got = s2d.unfold(rules.conv_fwd(xf, wf, (1, 1), ((1, 1), (1, 1))))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_subpixel_max_is_maxpool():
+    from hebbax.models.common import max_pool
+
+    x = jnp.asarray(np.random.RandomState(3).rand(2, 8, 8, 5),
+                    jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(s2d.subpixel_max(s2d.fold(x))),
+        np.asarray(max_pool(x)))
+
+
+def _both_models(hebb=None):
+    m = get_network("unet", 3, 2, hebb=hebb)
+    mf = get_network("unet_s2d", 3, 2, hebb=hebb)
+    return m, mf
+
+
+def test_unet_s2d_param_tree_identical():
+    m, mf = _both_models()
+    x = jnp.zeros((1, 32, 32, 3))
+    rngs = {"params": jax.random.PRNGKey(0)}
+    v = m.init(rngs, x, train=False)
+    vf = mf.init(rngs, x, train=False)
+    flat = jax.tree_util.tree_map(jnp.shape, v)
+    flatf = jax.tree_util.tree_map(jnp.shape, vf)
+    assert jax.tree_util.tree_structure(flat) == \
+        jax.tree_util.tree_structure(flatf)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: a == b, flat, flatf))
+
+
+def test_unet_s2d_eval_exact():
+    m, mf = _both_models()
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3),
+                    jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = m.apply(v, x, train=False)
+    outf = mf.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(outf), np.asarray(out),
+                               atol=2e-5)
+
+
+def test_unet_s2d_train_deltas_and_stats(monkeypatch):
+    """Train-mode forward with dropout disabled: outputs, every sown
+    Hebbian delta, and every BN batch stat must match."""
+    monkeypatch.setattr(nn.Dropout, "__call__",
+                        lambda self, x, **kw: x)
+    spec = HebbSpec(mode="swta_t", k=50.0, w_nrm=True, alpha=1.0,
+                    exclude=("out_conv",))
+    m, mf = _both_models(hebb=spec)
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 32, 32, 3),
+                    jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0)}
+    v = m.init(rngs, x, train=False)
+    r = {"dropout": jax.random.PRNGKey(1)}
+    out, mut = m.apply(v, x, train=True, rngs=r,
+                       mutable=["batch_stats", "hebb"])
+    outf, mutf = mf.apply(v, x, train=True, rngs=r,
+                          mutable=["batch_stats", "hebb"])
+    np.testing.assert_allclose(np.asarray(outf), np.asarray(out),
+                               atol=2e-5)
+
+    flat = jax.tree_util.tree_leaves_with_path(mut["hebb"])
+    flatf = dict(jax.tree_util.tree_leaves_with_path(mutf["hebb"]))
+    assert len(flat) > 0
+    for path, val in flat:
+        got = flatf[path]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(val), atol=2e-3,
+            err_msg=jax.tree_util.keystr(path))
+
+    sflat = jax.tree_util.tree_leaves_with_path(mut["batch_stats"])
+    sflatf = dict(jax.tree_util.tree_leaves_with_path(
+        mutf["batch_stats"]))
+    for path, val in sflat:
+        np.testing.assert_allclose(
+            np.asarray(sflatf[path]), np.asarray(val), atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_unet_s2d_hpca_deltas(monkeypatch):
+    monkeypatch.setattr(nn.Dropout, "__call__",
+                        lambda self, x, **kw: x)
+    spec = HebbSpec(mode="hpca", k=50.0, w_nrm=True, alpha=1.0,
+                    exclude=("out_conv",))
+    m, mf = _both_models(hebb=spec)
+    x = jnp.asarray(np.random.RandomState(2).rand(2, 16, 16, 3),
+                    jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    r = {"dropout": jax.random.PRNGKey(1)}
+    _, mut = m.apply(v, x, train=True, rngs=r,
+                     mutable=["batch_stats", "hebb"])
+    _, mutf = mf.apply(v, x, train=True, rngs=r,
+                       mutable=["batch_stats", "hebb"])
+    flatf = dict(jax.tree_util.tree_leaves_with_path(mutf["hebb"]))
+    for path, val in jax.tree_util.tree_leaves_with_path(mut["hebb"]):
+        # hpca's Gram-matrix decay sums y y^T over ~1e5 positions, so
+        # the folded layout's different accumulation order amplifies
+        # ~1e-6 fp noise to ~1e-3 absolute on isolated elements; a
+        # norm-wise bound is the right equivalence statement here.
+        a, b = np.asarray(flatf[path]), np.asarray(val)
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+        assert rel < 1e-3, (jax.tree_util.keystr(path), rel)
