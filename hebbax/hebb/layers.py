@@ -19,6 +19,7 @@ hebb.py:83-85).
 """
 
 import math
+import os
 from typing import Optional, Sequence, Union
 
 import jax
@@ -228,29 +229,56 @@ class FoldedHConv(nn.Module):
             x_d = jax.lax.stop_gradient(x).astype(ddt)
             y_d = jax.lax.stop_gradient(y).astype(ddt)
             co = self.features
-            if mode == "swta":
-                r = s2d.per_subpixel(
-                    lambda t: jax.nn.softmax(spec.k * t, axis=-1), y_d,
-                    co)
-                cot = r
+            if os.environ.get("HEBBAX_S2D_FOLDED_DELTA"):
+                # folded-layout wgrad: MXU-shaped but computes all 144
+                # (tap, block) slots for the 36 real ones (4x FLOPs) —
+                # measured SLOWER end-to-end than the unfolded rule
+                delta = self._folded_delta(spec, mode, w_d, x_d, y_d, k,
+                                           in_groups, co, pad)
             else:
-                cot = y_d
-            wf_shape = s2d.folded_kernel_shape(k, in_groups, co)
-            pos_f = rules._wgrad(rules.conv_fwd, x_d, wf_shape, cot,
-                                 (1, 1), pad)
-            pos = s2d.unfold_wgrad(pos_f, k, in_groups, co)
-            if mode == "swta":
-                r_sum = jnp.sum(r.reshape(-1, co), axis=0)
-                delta = pos - r_sum * w_d
-            else:
-                yf = cot.reshape(-1, 4, co).reshape(-1, co)
-                m = yf.T @ yf
-                dec = jnp.einsum(
-                    "ab,...b->...a",
-                    m * rules._sanger_tril(co, w_d.dtype), w_d)
-                delta = pos - dec
+                # unfold x/y (two relayouts) and run the original-layout
+                # rule: 1x FLOPs; the relayouts are cheaper than the 3x
+                # redundant folded wgrad work
+                # a folded concat keeps per-source subpixel blocks, so
+                # unfold each group separately before re-concatenating
+                parts, off = [], 0
+                for g in in_groups:
+                    parts.append(s2d.unfold(x_d[..., off:off + 4 * g]))
+                    off += 4 * g
+                xu = parts[0] if len(parts) == 1 else jnp.concatenate(
+                    parts, axis=-1)
+                yu = s2d.unfold(y_d)
+                if mode == "swta":
+                    delta = rules.swta_conv_delta(w_d, xu, yu, spec.k,
+                                                  (1, 1), padding=pad)
+                else:
+                    delta = rules.hpca_conv_delta(w_d, xu, yu, (1, 1),
+                                                  padding=pad)
             self.sow("hebb", "delta",
                      jax.lax.stop_gradient(delta.astype(jnp.float32)),
                      init_fn=lambda: 0.0,
                      reduce_fn=lambda acc, v: acc + v)
         return y
+
+    def _folded_delta(self, spec, mode, w_d, x_d, y_d, k, in_groups, co,
+                      pad):
+        from ..ops import s2d
+
+        if mode == "swta":
+            r = s2d.per_subpixel(
+                lambda t: jax.nn.softmax(spec.k * t, axis=-1), y_d, co)
+            cot = r
+        else:
+            cot = y_d
+        wf_shape = s2d.folded_kernel_shape(k, in_groups, co)
+        pos_f = rules._wgrad(rules.conv_fwd, x_d, wf_shape, cot,
+                             (1, 1), pad)
+        pos = s2d.unfold_wgrad(pos_f, k, in_groups, co)
+        if mode == "swta":
+            r_sum = jnp.sum(r.reshape(-1, co), axis=0)
+            return pos - r_sum * w_d
+        yf = cot.reshape(-1, co)
+        m = yf.T @ yf
+        dec = jnp.einsum("ab,...b->...a",
+                         m * rules._sanger_tril(co, w_d.dtype), w_d)
+        return pos - dec

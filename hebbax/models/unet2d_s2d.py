@@ -54,8 +54,11 @@ class FoldedBatchNorm(nn.Module):
 
         xg = x.reshape(x.shape[:-1] + (4, c))
         if train:
-            mean = jnp.mean(xg, axis=(0, 1, 2, 3))
-            mean2 = jnp.mean(jax.lax.square(xg), axis=(0, 1, 2, 3))
+            # stats in f32 regardless of compute dtype (flax BatchNorm
+            # semantics — bf16 accumulation over N*H*W loses precision)
+            xs = xg.astype(jnp.float32)
+            mean = jnp.mean(xs, axis=(0, 1, 2, 3))
+            mean2 = jnp.mean(jax.lax.square(xs), axis=(0, 1, 2, 3))
             var = jnp.maximum(mean2 - jax.lax.square(mean), 0.0)
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value
