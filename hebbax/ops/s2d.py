@@ -34,6 +34,7 @@ import functools
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 
@@ -75,6 +76,20 @@ def folded_kernel_shape(k, in_groups, co):
     return (k, k, ci4, 4 * co)
 
 
+@functools.lru_cache(maxsize=None)
+def _selector(k: int):
+    """Constant 0/1 selector S[tu, tv, U, V, dyx, eyx]: original tap
+    (tu, tv) scatters to folded tap (U, V) between input subpixel block
+    dyx and output subpixel block eyx.  One einsum against S builds the
+    folded kernel (and its transpose gathers wgrads back) — no
+    dynamic-update-slice chains in the compiled program."""
+    s = np.zeros((k, k, k, k, 4, 4), np.float32)
+    for fu, dy, tu, ey in _fold_maps(k):
+        for fv, dx, tv, ex in _fold_maps(k):
+            s[tu, tv, fu, fv, dy * 2 + dx, ey * 2 + ex] = 1.0
+    return s
+
+
 def fold_conv_kernel(w, in_groups):
     """Build the folded kernel W' from an original (k, k, Ci, Co) kernel.
 
@@ -85,39 +100,32 @@ def fold_conv_kernel(w, in_groups):
     k = w.shape[0]
     ci, co = w.shape[2], w.shape[3]
     assert sum(in_groups) == ci, (in_groups, ci)
-    wf = jnp.zeros(folded_kernel_shape(k, in_groups, co), w.dtype)
-    rows = _fold_maps(k)
-    cols = _fold_maps(k)
-    for fu, dy, tu, ey in rows:
-        for fv, dx, tv, ex in cols:
-            blk_out = (ey * 2 + ex) * co
-            off_orig, off_fold = 0, 0
-            for g in in_groups:
-                r0 = off_fold + (dy * 2 + dx) * g
-                wf = wf.at[fu, fv, r0:r0 + g,
-                           blk_out:blk_out + co].set(
-                    w[tu, tv, off_orig:off_orig + g, :])
-                off_orig += g
-                off_fold += 4 * g
-    return wf
+    sel = jnp.asarray(_selector(k), w.dtype)
+    parts, off = [], 0
+    for g in in_groups:
+        # (k,k,U,V,d,e) x (k,k,g,Co) -> (U,V,d,g,e,Co) -> (k,k,4g,4Co)
+        wf_g = jnp.einsum("uvUVde,uvio->UVdieo", sel,
+                          w[:, :, off:off + g, :],
+                          precision=jax.lax.Precision.HIGHEST)
+        parts.append(wf_g.reshape(k, k, 4 * g, 4 * co))
+        off += g
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
 
 
 def unfold_wgrad(gf, k, in_groups, co, dtype=None):
     """Map a folded-kernel gradient back to the original kernel: each
     original tap (u, v, i, o) accumulates its 4 subpixel slots."""
-    ci = sum(in_groups)
-    g = jnp.zeros((k, k, ci, co), dtype or gf.dtype)
-    for fu, dy, tu, ey in _fold_maps(k):
-        for fv, dx, tv, ex in _fold_maps(k):
-            blk_out = (ey * 2 + ex) * co
-            off_orig, off_fold = 0, 0
-            for grp in in_groups:
-                r0 = off_fold + (dy * 2 + dx) * grp
-                g = g.at[tu, tv, off_orig:off_orig + grp, :].add(
-                    gf[fu, fv, r0:r0 + grp, blk_out:blk_out + co])
-                off_orig += grp
-                off_fold += 4 * grp
-    return g
+    sel = jnp.asarray(_selector(k), gf.dtype)
+    outs, off_fold, parts = None, 0, []
+    for g in in_groups:
+        gf_g = gf[:, :, off_fold:off_fold + 4 * g, :].reshape(
+            k, k, 4, g, 4, co)
+        parts.append(jnp.einsum("uvUVde,UVdieo->uvio", sel, gf_g,
+                                precision=jax.lax.Precision.HIGHEST))
+        off_fold += 4 * g
+    out = (parts[0] if len(parts) == 1
+           else jnp.concatenate(parts, axis=2))
+    return out.astype(dtype) if dtype else out
 
 
 def fold_bias(b):

@@ -26,6 +26,15 @@ import sys
 
 import numpy as np
 
+# The axon sitecustomize force-overrides JAX_PLATFORMS, so pin the CPU
+# backend through jax.config (the only effective route — see
+# tests/conftest.py).  PARITY_TPU=1 opts back into the tunnel device.
+if not os.environ.get("PARITY_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -76,7 +85,8 @@ def eval_metric(logits_fn, val_x, val_y, bs=8):
     return float(thr), float(ji), float(dc)
 
 
-def run_hebbax(arrays, epochs, bs, lr, seed=0):
+def run_hebbax(arrays, epochs, bs, lr, seed=0, network="unet",
+               dtype=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -88,7 +98,8 @@ def run_hebbax(arrays, epochs, bs, lr, seed=0):
 
     tr_x, tr_y = arrays["train"]
     va_x, va_y = arrays["val"]
-    model = get_network("unet", 3, 2)
+    dty = jnp.bfloat16 if dtype in ("bfloat16", "bf16") else None
+    model = get_network(network, 3, 2, dtype=dty)
     rngs = {"params": jax.random.PRNGKey(seed),
             "dropout": jax.random.PRNGKey(seed + 1)}
     variables = model.init(rngs, jnp.asarray(tr_x[:1]), train=False)
@@ -98,7 +109,7 @@ def run_hebbax(arrays, epochs, bs, lr, seed=0):
                        opt_state=tx.init(variables["params"]), step=0)
     criterion = segmentation_loss("dice", False, num_classes=2)
     step = make_sup_train_step(model, "unet", criterion, tx)
-    eval_step = make_eval_step(model, "unet")
+    eval_step = make_eval_step(model, "unet")  # outputs="single" either way
 
     traj = []
     for epoch in range(epochs):
@@ -163,16 +174,30 @@ def main():
     p.add_argument("--batch_size", default=8, type=int)
     p.add_argument("--lr", default=1e-3, type=float)
     p.add_argument("--out", default="/tmp/parity_control")
+    p.add_argument("--network", default="unet",
+                   help="hebbax network (e.g. unet_s2d for the folded "
+                        "TPU fast path; checkpoints interchangeable)")
+    p.add_argument("--dtype", default="float32",
+                   help="hebbax compute dtype (float32 | bfloat16)")
+    p.add_argument("--reference_best", type=float, default=None,
+                   help="skip the (slow) torch control and compare "
+                        "against this stored best val Dice")
     args = p.parse_args()
 
     arrays = make_data(args.out, args.size)
-    ref = run_torch_reference(arrays, args.epochs, args.batch_size, args.lr)
-    heb = run_hebbax(arrays, args.epochs, args.batch_size, args.lr)
+    if args.reference_best is None:
+        ref = run_torch_reference(arrays, args.epochs, args.batch_size,
+                                  args.lr)
+    else:
+        ref = [(0.5, args.reference_best, args.reference_best)]
+    heb = run_hebbax(arrays, args.epochs, args.batch_size, args.lr,
+                     network=args.network, dtype=args.dtype)
     best_ref = max(t[2] for t in ref)
     best_heb = max(t[2] for t in heb)
     print(json.dumps({
         "config": {"epochs": args.epochs, "size": args.size,
-                   "batch_size": args.batch_size, "lr": args.lr},
+                   "batch_size": args.batch_size, "lr": args.lr,
+                   "network": args.network, "dtype": args.dtype},
         "reference_val_thr_ji_dice_per_epoch": ref,
         "hebbax_val_thr_ji_dice_per_epoch": heb,
         "best_val_dice": {"reference": round(best_ref, 4),
