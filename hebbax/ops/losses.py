@@ -49,6 +49,9 @@ def dice_loss(logits, target, num_classes=None, smooth=1.0, p=2,
     """
     if num_classes is None:
         num_classes = logits.shape[-1]
+    # mixed-precision hygiene: losses always reduce in f32 — bf16 sums
+    # over H*W pixels lose enough precision to destabilize late training
+    logits = logits.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
     onehot, valid = _one_hot_valid(target, num_classes, ignore_index)
     n = logits.shape[0]
@@ -72,7 +75,7 @@ def cross_entropy_loss(logits, target, ignore_index=-1):
     """Pixel-mean CE over valid pixels (ignore_index masked out)."""
     num_classes = logits.shape[-1]
     valid = (target != ignore_index).astype(jnp.float32)
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     onehot = jax.nn.one_hot(jnp.clip(target, 0, None), num_classes)
     nll = -jnp.sum(onehot * logp, axis=-1) * valid
     return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1.0)
@@ -96,7 +99,7 @@ def segmentation_loss(loss="dice", aux=False, num_classes=None):
         aw = 0.2
     elif loss == "bce":
         def base(logits, target):
-            probs = jax.nn.sigmoid(logits)
+            probs = jax.nn.sigmoid(logits.astype(jnp.float32))
             valid = (target != -1).astype(jnp.float32)
             t = jnp.maximum(target.astype(jnp.float32), 0.0)
             eps = 1e-7
@@ -140,7 +143,7 @@ def bce_bound_loss(logits, target, num_classes=2):
     Pixels with target == -1 (ignore_index; dp padding) are excluded from
     both the BCE mean and the positive-frequency weight; on fully valid
     batches this is the reference formula verbatim."""
-    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     onehot, valid = _one_hot_valid(target, num_classes)
     n_valid = jnp.maximum(jnp.sum(valid), 1.0)
     losses = []
