@@ -17,14 +17,15 @@ the small channel counts of the UNet (16..256) land on the 128-lane axis
 and VMEM tiles pad 8x, blowing the 16M scoped budget; with W on the lane
 axis the padding is negligible.
 
-Status (measured on a v5e): in ISOLATION the kernel beats the XLA path
-1.66x at the UNet's first-layer shape (0.46 vs 0.77 ms, bs=8 128^2 16ch,
-rel err 3e-6).  Inside the FULL pretrain step, however, the
-channels-last -> channel-first transposes it needs add enough HBM
-traffic to flip the sign (2.59 vs 2.25 ms/step end to end), so the
-kernel is OPT-IN via HEBBAX_ENABLE_PALLAS=1 and the XLA-composed rule
-remains the default.  (A channel-first activation layout throughout the
-model would recover the win; future work.)
+Status: numerics validated on the real chip (rel err 3e-6 vs the XLA
+rule).  The kernel is OPT-IN via HEBBAX_ENABLE_PALLAS=1 and the
+XLA-composed rule is the default: every relative timing in favor of
+the kernel from round 1 ("1.66x isolated") was taken before the
+discovery that block_until_ready does not block through the TPU
+tunnel (see hebbax/utils/timing.py), and honest end-to-end step
+comparisons consistently favor the XLA rule — the channels-last ->
+channel-first transposes the kernel needs are visible as the
+dominant copies in the step trace.
 
 Mosaic constraints honored: 3D channel-first blocks (4D dynamic vector
 loads unsupported; channels-last lane padding blows VMEM 8x), 8-aligned
