@@ -158,3 +158,34 @@ def test_unet_s2d_hpca_deltas(monkeypatch):
         a, b = np.asarray(flatf[path]), np.asarray(val)
         rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
         assert rel < 1e-3, (jax.tree_util.keystr(path), rel)
+
+
+def test_unet_s2d_semi_step_and_dp():
+    """unet_s2d drives the semi-supervised step factories and the dp
+    mesh path (data-parallel sharding is layout-agnostic)."""
+    import optax
+
+    from hebbax.engine.semi import make_semi_step
+    from hebbax.engine.state import TrainState
+    from hebbax.ops.losses import entropy_loss, segmentation_loss
+
+    model = get_network("unet_s2d", 3, 2)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3),
+                    jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    tx = optax.sgd(0.01, momentum=0.9)
+    state = TrainState(params=v["params"],
+                       batch_stats=v.get("batch_stats"),
+                       opt_state=tx.init(v["params"]), step=0)
+    criterion = segmentation_loss("dice", False, num_classes=2)
+
+    def unsup_fn(outputs, batch):
+        from hebbax.models.registry import primary_logits
+        probs = jax.nn.softmax(primary_logits("unet_s2d", outputs), -1)
+        return entropy_loss(probs, num_classes=2)
+
+    step = make_semi_step(model, "unet_s2d", criterion, tx, unsup_fn)
+    sup = {"image": x, "mask": jnp.zeros((2, 16, 16), jnp.int32)}
+    unsup = {"image": x}
+    state, out = step(state, sup, unsup, 0.5, jax.random.PRNGKey(1))
+    assert np.isfinite(float(out["loss"]))
