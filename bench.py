@@ -218,15 +218,41 @@ def main():
     baseline = (None if os.environ.get("BENCH_SKIP_CONTROL")
                 else bench_torch_reference())
 
-    # reference-parity config (unet, f32) — comparable across rounds
-    steps_f32, imgs_f32 = bench_hebbax()
-    print(json.dumps({
-        "metric": "glas2d_unet_train_images_per_sec_f32_parity_config",
-        "value": round(imgs_f32, 2),
-        "unit": f"images/s (bs={BATCH}, {SIZE}x{SIZE}, unet f32)",
-        "vs_baseline": (round(steps_f32 / baseline, 2)
+    # HEADLINE metric (computed FIRST so a driver-side timeout still
+    # captures it; REPRINTED last — the driver parses the final JSON
+    # line): the TPU fast path — space-to-depth folded UNet2D in bf16.
+    # Accuracy parity vs the torch reference control: best val Dice
+    # 0.9986 vs 0.9995 (PARITY.md; checkpoints interchangeable with
+    # 'unet').
+    global DTYPE
+    old_net, old_dtype = NETWORK_OVERRIDE.copy(), DTYPE
+    NETWORK_OVERRIDE["name"] = os.environ.get("BENCH_FAST_NET", "unet_s2d")
+    DTYPE = os.environ.get("BENCH_FAST_DTYPE", "bfloat16")
+    try:
+        steps_fast, imgs_fast = bench_hebbax()
+    finally:
+        NETWORK_OVERRIDE.update(old_net)
+        DTYPE = old_dtype
+    headline = json.dumps({
+        "metric": "glas2d_unet_train_images_per_sec",
+        "value": round(imgs_fast, 2),
+        "unit": (f"images/s (bs={BATCH}, {SIZE}x{SIZE}, "
+                 f"unet_s2d bf16 fast path; Dice parity 0.9986/0.9995)"),
+        "vs_baseline": (round(steps_fast / baseline, 2)
                         if baseline else None),
-    }), flush=True)
+    })
+    print(headline, flush=True)
+
+    # reference-parity config (unet, f32) — comparable across rounds
+    if not os.environ.get("BENCH_SKIP_PARITY_CONFIG"):
+        steps_f32, imgs_f32 = bench_hebbax()
+        print(json.dumps({
+            "metric": "glas2d_unet_train_images_per_sec_f32_parity_config",
+            "value": round(imgs_f32, 2),
+            "unit": f"images/s (bs={BATCH}, {SIZE}x{SIZE}, unet f32)",
+            "vs_baseline": (round(steps_f32 / baseline, 2)
+                            if baseline else None),
+        }), flush=True)
 
     # novelty path: Hebbian pretrain step
     if not os.environ.get("BENCH_SKIP_PRETRAIN"):
@@ -248,27 +274,7 @@ def main():
         except Exception as e:
             print(f"# bench_3d failed: {e}", flush=True)
 
-    # HEADLINE metric LAST (driver parses the final JSON line): the TPU
-    # fast path — space-to-depth folded UNet2D in bf16.  Accuracy parity
-    # vs the torch reference control: best val Dice 0.9986 vs 0.9995
-    # (PARITY.md; checkpoints interchangeable with 'unet').
-    global DTYPE
-    old_net, old_dtype = NETWORK_OVERRIDE.copy(), DTYPE
-    NETWORK_OVERRIDE["name"] = os.environ.get("BENCH_FAST_NET", "unet_s2d")
-    DTYPE = os.environ.get("BENCH_FAST_DTYPE", "bfloat16")
-    try:
-        steps_fast, imgs_fast = bench_hebbax()
-    finally:
-        NETWORK_OVERRIDE.update(old_net)
-        DTYPE = old_dtype
-    print(json.dumps({
-        "metric": "glas2d_unet_train_images_per_sec",
-        "value": round(imgs_fast, 2),
-        "unit": (f"images/s (bs={BATCH}, {SIZE}x{SIZE}, "
-                 f"unet_s2d bf16 fast path; Dice parity 0.9986/0.9995)"),
-        "vs_baseline": (round(steps_fast / baseline, 2)
-                        if baseline else None),
-    }))
+    print(headline)
 
 
 if __name__ == "__main__":
