@@ -19,13 +19,15 @@ axis the padding is negligible.
 
 Status: numerics validated on the real chip (rel err 3e-6 vs the XLA
 rule).  The kernel is OPT-IN via HEBBAX_ENABLE_PALLAS=1 and the
-XLA-composed rule is the default: every relative timing in favor of
-the kernel from round 1 ("1.66x isolated") was taken before the
-discovery that block_until_ready does not block through the TPU
-tunnel (see hebbax/utils/timing.py), and honest end-to-end step
-comparisons consistently favor the XLA rule — the channels-last ->
-channel-first transposes the kernel needs are visible as the
-dominant copies in the step trace.
+XLA-composed rule is the default — a MEASURED negative result: with
+honest in-dispatch scan timing (scripts/microbench_delta.py; round 1's
+"1.66x isolated win" predated the discovery that block_until_ready
+does not block through the TPU tunnel) the kernel loses both isolated
+(2.32 vs 1.66 ms per delta at the 128² 16ch bs=32 hot shape — the
+channels-last -> channel-first transposes it needs dominate) and
+end-to-end (pretrain step 21.9 vs 19.3 ms).  The winning layout fix
+for small-channel convs on this hardware is space-to-depth folding
+(ops/s2d.py), not a fused kernel.
 
 Mosaic constraints honored: 3D channel-first blocks (4D dynamic vector
 loads unsupported; channels-last lane padding blows VMEM 8x), 8-aligned
