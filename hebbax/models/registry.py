@@ -20,7 +20,7 @@ from .ddpm import DDPMUNet
 from .snn import ANNVGG, SNNVGG
 from .unet2d import (UNet2D, UNetCCT2D, UNetSuperpix2D, UNetURPC2D,
                      UNetVAE2D)
-from .unet2d_s2d import UNet2DS2D
+from .unet2d_s2d import UNet2DS2D, UNetCCT2DS2D, UNetURPC2DS2D
 from .unet3d import UNet3D, UNet3DCCT, UNet3DDTC, UNet3DSuperpix, UNet3DVAE
 from .urpc3d import UNet3DURPC
 from .vnet import VNet, VNetCCT, VNetDTC
@@ -33,8 +33,11 @@ _REGISTRY = {
     # MXU-shaped compute layout (models/unet2d_s2d.py) — TPU fast path
     "unet_s2d": (UNet2DS2D, dict(nd=2, outputs="single")),
     "unet_urpc": (UNetURPC2D, dict(nd=2, outputs="deep4")),
+    "unet_urpc_s2d": (UNetURPC2DS2D, dict(nd=2, outputs="deep4")),
     "unet_cct": (UNetCCT2D, dict(nd=2, outputs="deep4",
                                  rngs=("perturb",))),
+    "unet_cct_s2d": (UNetCCT2DS2D, dict(nd=2, outputs="deep4",
+                                        rngs=("perturb",))),
     "unet_vae": (UNetVAE2D, dict(nd=2, outputs="vae", rngs=("latent",))),
     "unet_superpix": (UNetSuperpix2D, dict(nd=2, outputs="superpix")),
     "unet_ddpm": (DDPMUNet, dict(nd=2, outputs="ddpm")),

@@ -24,7 +24,8 @@ from flax import linen as nn
 from ..hebb.layers import FoldedHConv, HConv
 from ..hebb.spec import HebbSpec
 from ..ops import s2d
-from .common import max_pool, resize_linear_align_corners
+from .common import (max_pool, perturb_features,
+                     resize_linear_align_corners, resize_nearest_torch)
 from .unet2d import BN_GAIN, ENC_DROPOUT, FEATURES, ConvBlockLeaky
 
 
@@ -245,6 +246,111 @@ class FoldedDecoder2D(nn.Module):
         h = FoldedUpBlock(FEATURES[0], FEATURES[0], FEATURES[0],
                           x_folded=True, name="up4", **kw)(h, x0f, train)
         return h
+
+
+class UNetURPC2DS2D(nn.Module):
+    """UNetURPC2D (unet_urpc.py:201-264) with the top decoder levels
+    folded.  Identical parameter tree / checkpoints to ``unet_urpc``;
+    the dp1 and main heads run folded (their inputs are the folded up3/
+    up4 outputs) and emit unfolded logits.  Select with
+    ``--network unet_urpc_s2d`` in the URPC trainers."""
+
+    in_channels: int
+    n_cls: int
+    hebb: Optional[HebbSpec] = None
+    init_type: str = "kaiming"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .unet2d import UpBlock2D
+
+        kw = dict(hebb=self.hebb, init_type=self.init_type,
+                  dtype=self.dtype)
+        ckw = dict(kernel_size=3, padding=1, **kw)
+        shape = x.shape[1:-1]
+        x0f, x1f, x2, x3, x4 = FoldedEncoder2D(name="encoder",
+                                               **kw)(x, train)
+        up = UpBlock2D(FEATURES[3], FEATURES[3], name="up1", **kw)(
+            x4, x3, train)
+        dp3 = HConv(self.n_cls, name="out_conv_dp3", **ckw)(up, train)
+        dp3 = resize_nearest_torch(dp3, shape)
+        up = UpBlock2D(FEATURES[2], FEATURES[2], name="up2", **kw)(
+            up, x2, train)
+        dp2 = HConv(self.n_cls, name="out_conv_dp2", **ckw)(up, train)
+        dp2 = resize_nearest_torch(dp2, shape)
+        up = FoldedUpBlock(FEATURES[1], FEATURES[1], FEATURES[1],
+                           x_folded=False, name="up3", **kw)(up, x1f,
+                                                             train)
+        dp1 = s2d.unfold(FoldedHConv(self.n_cls, 3, (FEATURES[1],),
+                                     name="out_conv_dp1", **kw)(up,
+                                                                train))
+        dp1 = resize_nearest_torch(dp1, shape)
+        up = FoldedUpBlock(FEATURES[0], FEATURES[0], FEATURES[0],
+                           x_folded=True, name="up4", **kw)(up, x0f,
+                                                            train)
+        dp0 = s2d.unfold(FoldedHConv(self.n_cls, 3, (FEATURES[0],),
+                                     name="out_conv", **kw)(up, train))
+        return dp0, dp1, dp2, dp3
+
+
+def _perturb_folded(key, feats, kind: str):
+    """CCT perturbation with ORIGINAL-layout semantics AND rng draws
+    identical to the unfolded model: unfold the two folded levels,
+    perturb the 5-feature list exactly as UNetCCT2D does, refold."""
+    unfolded = [s2d.unfold(feats[0]), s2d.unfold(feats[1])] + \
+        list(feats[2:])
+    p = perturb_features(key, unfolded, kind)
+    return [s2d.fold(p[0]), s2d.fold(p[1])] + p[2:]
+
+
+class UNetCCT2DS2D(nn.Module):
+    """UNetCCT2D (unet_cct.py:184-267) with the shared decoder's top
+    levels folded — the decoder runs 4x (clean + 3 perturbations), so
+    folding its small-channel half pays 4x.  Same parameter tree /
+    checkpoints as ``unet_cct``; perturbations are applied in the
+    original layout (identical rng draws — see _perturb_folded)."""
+
+    in_channels: int
+    n_cls: int
+    hebb: Optional[HebbSpec] = None
+    init_type: str = "kaiming"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .unet2d import UpBlock2D
+
+        kw = dict(hebb=self.hebb, init_type=self.init_type,
+                  dtype=self.dtype)
+        feats = FoldedEncoder2D(name="encoder", **kw)(x, train)
+        ups = [UpBlock2D(FEATURES[3], FEATURES[3], name="up1", **kw),
+               UpBlock2D(FEATURES[2], FEATURES[2], name="up2", **kw),
+               FoldedUpBlock(FEATURES[1], FEATURES[1], FEATURES[1],
+                             x_folded=False, name="up3", **kw),
+               FoldedUpBlock(FEATURES[0], FEATURES[0], FEATURES[0],
+                             x_folded=True, name="up4", **kw)]
+        head = FoldedHConv(self.n_cls, 3, (FEATURES[0],),
+                           name="out_conv", **kw)
+
+        def decode(f):
+            x0f, x1f, x2, x3, x4 = f
+            d = ups[0](x4, x3, train)
+            d = ups[1](d, x2, train)
+            d = ups[2](d, x1f, train)
+            d = ups[3](d, x0f, train)
+            return s2d.unfold(head(d, train))
+
+        main = decode(feats)
+        if self.has_rng("perturb"):
+            keys = jax.random.split(self.make_rng("perturb"), 3)
+            aux1 = decode(_perturb_folded(keys[0], feats, "noise"))
+            aux2 = decode(_perturb_folded(keys[1], feats, "dropout"))
+            aux3 = decode(_perturb_folded(keys[2], feats,
+                                          "feature_dropout"))
+        else:
+            aux1 = aux2 = aux3 = main
+        return main, aux1, aux2, aux3
 
 
 class UNet2DS2D(nn.Module):

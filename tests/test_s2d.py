@@ -160,6 +160,84 @@ def test_unet_s2d_hpca_deltas(monkeypatch):
         assert rel < 1e-3, (jax.tree_util.keystr(path), rel)
 
 
+@pytest.mark.parametrize("base,folded", [("unet_urpc", "unet_urpc_s2d"),
+                                         ("unet_cct", "unet_cct_s2d")])
+def test_semi_variant_s2d_param_tree_identical(base, folded):
+    m = get_network(base, 3, 2)
+    mf = get_network(folded, 3, 2)
+    x = jnp.zeros((1, 32, 32, 3))
+    rngs = {"params": jax.random.PRNGKey(0)}
+    v = m.init(rngs, x, train=False)
+    vf = mf.init(rngs, x, train=False)
+    flat = jax.tree_util.tree_map(jnp.shape, v)
+    flatf = jax.tree_util.tree_map(jnp.shape, vf)
+    assert jax.tree_util.tree_structure(flat) == \
+        jax.tree_util.tree_structure(flatf)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: a == b, flat, flatf))
+
+
+def test_unet_urpc_s2d_eval_exact():
+    """All four deep-supervision logits match the unfolded model."""
+    m = get_network("unet_urpc", 3, 2)
+    mf = get_network("unet_urpc_s2d", 3, 2)
+    x = jnp.asarray(np.random.RandomState(4).rand(2, 32, 32, 3),
+                    jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    outs = m.apply(v, x, train=False)
+    outsf = mf.apply(v, x, train=False)
+    assert len(outs) == len(outsf) == 4
+    for i, (a, b) in enumerate(zip(outsf, outs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, err_msg=f"dp{i}")
+
+
+def test_unet_cct_s2d_eval_exact_with_perturbations():
+    """Main AND the three perturbed aux outputs match the unfolded
+    model under the same 'perturb' rng (identical draws by design —
+    _perturb_folded perturbs in the original layout)."""
+    m = get_network("unet_cct", 3, 2)
+    mf = get_network("unet_cct_s2d", 3, 2)
+    x = jnp.asarray(np.random.RandomState(5).rand(2, 32, 32, 3),
+                    jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    r = {"perturb": jax.random.PRNGKey(7)}
+    outs = m.apply(v, x, train=False, rngs=r)
+    outsf = mf.apply(v, x, train=False, rngs=r)
+    for i, (a, b) in enumerate(zip(outsf, outs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, err_msg=f"out{i}")
+    # the aux heads really were perturbed (not the identity fallback)
+    assert not np.allclose(np.asarray(outs[0]), np.asarray(outs[1]))
+
+
+def test_unet_urpc_s2d_hebbian_deltas(monkeypatch):
+    """swta_t pretraining deltas on the URPC backbone match (the URPC
+    pretrain path excludes the four heads)."""
+    monkeypatch.setattr(nn.Dropout, "__call__",
+                        lambda self, x, **kw: x)
+    spec = HebbSpec(mode="swta_t", k=50.0, w_nrm=True, alpha=1.0,
+                    exclude=("out_conv", "out_conv_dp1", "out_conv_dp2",
+                             "out_conv_dp3"))
+    m = get_network("unet_urpc", 3, 2, hebb=spec)
+    mf = get_network("unet_urpc_s2d", 3, 2, hebb=spec)
+    x = jnp.asarray(np.random.RandomState(6).rand(2, 32, 32, 3),
+                    jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    r = {"dropout": jax.random.PRNGKey(1)}
+    _, mut = m.apply(v, x, train=True, rngs=r,
+                     mutable=["batch_stats", "hebb"])
+    _, mutf = mf.apply(v, x, train=True, rngs=r,
+                       mutable=["batch_stats", "hebb"])
+    flatf = dict(jax.tree_util.tree_leaves_with_path(mutf["hebb"]))
+    leaves = jax.tree_util.tree_leaves_with_path(mut["hebb"])
+    assert len(leaves) > 0
+    for path, val in leaves:
+        np.testing.assert_allclose(
+            np.asarray(flatf[path]), np.asarray(val), atol=2e-3,
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_unet_s2d_semi_step_and_dp():
     """unet_s2d drives the semi-supervised step factories and the dp
     mesh path (data-parallel sharding is layout-agnostic)."""
