@@ -27,17 +27,19 @@ def tiny_dataset(tmp_path_factory):
     return str(root)
 
 
-def test_hebbian_pretrain_urpc_backbone(tiny_dataset, tmp_path):
-    """pretrain_hebbian_unsup_2d with unet_urpc: 4 deep-supervision heads
-    averaged unconditionally (pretrain_hebbian_unsup_2d.py:177-181),
-    heads excluded per the reproduce script's EXCLUDE_LAYER list."""
+@pytest.mark.parametrize("network", ["unet_urpc", "unet_urpc_s2d"])
+def test_hebbian_pretrain_urpc_backbone(tiny_dataset, tmp_path, network):
+    """pretrain_hebbian_unsup_2d with unet_urpc (and its folded twin):
+    4 deep-supervision heads averaged unconditionally
+    (pretrain_hebbian_unsup_2d.py:177-181), heads excluded per the
+    reproduce script's EXCLUDE_LAYER list."""
     from hebbax.cli.common import base_parser_2d
     from hebbax.cli import pretrain_hebbian_unsup_2d as pre
 
     args = pre.add_args(base_parser_2d()).parse_args([
         "--path_dataset", tiny_dataset, "--dataset_name", "GlaS",
         "--path_root_exp", str(tmp_path / "runs"),
-        "--network", "unet_urpc",
+        "--network", network,
         "--batch_size", "2", "--num_epochs", "2", "--validate_iter", "1",
         "--lr", "1e-5", "--num_workers", "2",
         "--exclude", "out_conv_dp1", "out_conv_dp2", "out_conv_dp3",
