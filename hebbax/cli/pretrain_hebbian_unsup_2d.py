@@ -59,7 +59,8 @@ def build(args):
             "latent": jax.random.PRNGKey(args.seed + 3)}
     import jax.numpy as jnp
     sample = jnp.zeros((args.batch_size, 128, 128, in_ch), jnp.float32)
-    model = get_network(args.network, in_ch, n_cls, hebb=spec)
+    model = get_network(args.network, in_ch, n_cls, hebb=spec,
+                        dtype=common.model_dtype(args))
     variables = model.init(rngs, sample, train=False)
 
     tx = common.build_tx(args, steps_per_epoch=len(loaders["train"]))

@@ -61,7 +61,8 @@ def build(args):
             "dropout": jax.random.PRNGKey(args.seed + 1),
             "perturb": jax.random.PRNGKey(args.seed + 2)}
     sample = jnp.zeros((1,) + ps + (cfg["IN_CHANNELS"],), jnp.float32)
-    model = get_network(args.network, cfg["IN_CHANNELS"], n_cls, hebb=spec)
+    model = get_network(args.network, cfg["IN_CHANNELS"], n_cls, hebb=spec,
+                        dtype=common.model_dtype(args))
     variables = model.init(rngs, sample, train=False)
 
     tx = common.build_tx(args, steps_per_epoch=len(loaders["train"]))

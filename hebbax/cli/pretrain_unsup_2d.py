@@ -146,7 +146,8 @@ def build(args, kind):
     rngs = {"params": jax.random.PRNGKey(args.seed),
             "dropout": jax.random.PRNGKey(args.seed + 1),
             "latent": jax.random.PRNGKey(args.seed + 3)}
-    model = get_network(args.network, in_ch, n_cls)
+    model = get_network(args.network, in_ch, n_cls,
+                        dtype=common.model_dtype(args))
     sample = jnp.zeros((args.batch_size, 128, 128, in_ch), jnp.float32)
     if kind == "superdiff":
         variables = model.init(rngs, jnp.zeros(

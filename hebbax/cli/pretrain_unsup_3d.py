@@ -79,7 +79,8 @@ def build(args, kind):
 
     if kind == "superdiff":
         # 2D DDPM on the central slice
-        model = get_network("unet_ddpm", in_ch, n_cls)
+        model = get_network("unet_ddpm", in_ch, n_cls,
+                            dtype=common.model_dtype(args))
         variables = model.init(
             rngs, jnp.zeros((args.batch_size, ps[0], ps[1], n_cls)),
             mode="probe", train=False)
@@ -119,7 +120,8 @@ def build(args, kind):
                 out["loss"] = criterion(logits, batch["mask"])
             return out
     else:
-        model = get_network(args.network, in_ch, n_cls)
+        model = get_network(args.network, in_ch, n_cls,
+                            dtype=common.model_dtype(args))
         sample = jnp.zeros((args.batch_size,) + ps + (in_ch,), jnp.float32)
         variables = model.init(rngs, sample, train=False)
         tx = common.build_tx(args, steps_per_epoch=len(loaders["train"]))

@@ -57,6 +57,33 @@ def test_hebbian_pretrain_urpc_backbone(tiny_dataset, tmp_path, network):
     assert "out_conv_dp2" in meta["excluded_layers"]
 
 
+def test_pretrain_cli_threads_dtype(tiny_dataset, tmp_path):
+    """--dtype bfloat16 must reach the model in the pretrain CLIs
+    (regression: the flag was recorded in config.json but the model was
+    built f32, making the two dtypes silently identical)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hebbax.cli.common import base_parser_2d
+    from hebbax.cli import pretrain_hebbian_unsup_2d as pre
+
+    args = pre.add_args(base_parser_2d()).parse_args([
+        "--path_dataset", tiny_dataset, "--dataset_name", "GlaS",
+        "--path_root_exp", str(tmp_path / "runs"),
+        "--batch_size", "2", "--num_epochs", "1",
+        "--num_workers", "2", "--dtype", "bfloat16",
+    ])
+    trainer = pre.build(args)
+    out = trainer.model.apply(
+        {"params": trainer.state.params,
+         "batch_stats": trainer.state.batch_stats},
+        jnp.zeros((1, 32, 32, 3)), train=False)
+    assert out.dtype == jnp.bfloat16
+    # params stay f32
+    leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    assert leaf.dtype == jnp.float32
+
+
 def test_wavelet_input_variant(tiny_dataset, tmp_path):
     """Generate HAAR_H inputs with the wavelet tool, then train with
     --input1 HAAR_H so stats resolve via MEAN_HAAR_H
