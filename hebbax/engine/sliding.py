@@ -182,18 +182,27 @@ def slide_window_inference_device(forward: Callable, volume: np.ndarray,
     mesh/finalize: see make_device_slider.  fetch=False returns the
     on-device array plus a crop closure — callers can overlap volume i's
     host fetch with volume i+1's dispatch (jax dispatch is async)."""
+    if finalize == "binary" and threshold is None:
+        raise ValueError(
+            "finalize='binary' requires an explicit threshold (the "
+            "stored per-run value from training, or 0.5)")
     vol = np.asarray(volume, np.float32)
     pad = [max(0, p - s) for s, p in zip(vol.shape, patch_size)]
     if any(pad):
         vol = np.pad(vol, [(0, p) for p in pad])
     key = (id(forward), vol.shape, tuple(patch_size), tuple(overlap),
            n_cls, batch_size, id(mesh), finalize)
-    run = _SLIDER_CACHE.get(key)
-    if run is None:
+    entry = _SLIDER_CACHE.get(key)
+    if entry is None:
         run = make_device_slider(forward, vol.shape, tuple(patch_size),
                                  tuple(overlap), n_cls, batch_size,
                                  mesh=mesh, finalize=finalize)
-        _SLIDER_CACHE[key] = run
+        # pin the keyed objects: id(forward)/id(mesh) stay valid only
+        # while the objects are alive, so the cache holds strong refs —
+        # a GC'd forward can never alias a live entry's key
+        entry = (run, forward, mesh)
+        _SLIDER_CACHE[key] = entry
+    run = entry[0]
     if finalize == "binary":
         fwd_args = (threshold,) + tuple(fwd_args)
     dev = run(vol, *fwd_args)

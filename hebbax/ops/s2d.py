@@ -41,6 +41,12 @@ import jax.numpy as jnp
 def fold(x):
     """(N, H, W, C) -> (N, H/2, W/2, 4C), channel order (dy*2+dx)*C+c."""
     n, h, w, c = x.shape
+    if h % 2 or w % 2:
+        raise ValueError(
+            f"space-to-depth folding needs even spatial dims, got "
+            f"{(h, w)}; the s2d model variants (unet_s2d / unet_urpc_s2d "
+            f"/ unet_cct_s2d) require H, W % 4 == 0 — use the unfolded "
+            f"network for odd-sized inputs")
     x = x.reshape(n, h // 2, 2, w // 2, 2, c)
     x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
     return x.reshape(n, h // 2, w // 2, 4 * c)
