@@ -19,7 +19,7 @@ PATCH = (96, 96, 80)
 OVERLAP = (48, 48, 40)
 
 
-def torch_control_volumes_per_sec(n_ctrl_patches=2):
+def torch_control_volumes_per_sec(n_ctrl_patches=3):
     """The reference's sliding-window inference control
     (/root/reference/test_3d.py:119-168: tio GridSampler + GridAggregator
     'average' around the torch unet3d) reenacted on this host's torch
@@ -53,12 +53,17 @@ def torch_control_volumes_per_sec(n_ctrl_patches=2):
             rng.rand(1, 1, *PATCH).astype(np.float32)).to(device)
         with torch.no_grad():
             model(x)  # warmup
-            t0 = time.perf_counter()
+            times = []
             for _ in range(n_ctrl_patches):
+                t0 = time.perf_counter()
                 out = model(x)
-            if device == "cuda":
-                torch.cuda.synchronize()
-            t_patch = (time.perf_counter() - t0) / n_ctrl_patches
+                if device == "cuda":
+                    torch.cuda.synchronize()
+                times.append(time.perf_counter() - t0)
+            t_patch = sum(times) / len(times)
+            spread = (max(times) - min(times)) / t_patch
+            print(f"# torch 3d control: {len(times)} patches, "
+                  f"mean {t_patch:.1f}s, spread {spread:.1%}", flush=True)
         # aggregator.add_batch + get_output_tensor: host scatter-average
         logits = np.asarray(out.cpu())[0].transpose(1, 2, 3, 0)
         acc = np.zeros(VOL_SHAPE + (2,), np.float32)
@@ -129,76 +134,81 @@ def torch_control_train_steps_per_sec(iters=1):
         return None
 
 
-def main():
+def _build(net, dtype_name):
     import jax
     import jax.numpy as jnp
-    import optax
 
-    from hebbax.engine.sliding import (grid_locations,
-                                       slide_window_inference_device)
-    from hebbax.engine.state import TrainState
-    from hebbax.engine.steps import make_sup_train_step
-    from hebbax.models import get_network, primary_logits
-    from hebbax.ops.losses import segmentation_loss
+    from hebbax.models import get_network
 
-    model = get_network("unet3d", 1, 2)
+    dtype = (jnp.bfloat16 if dtype_name in ("bfloat16", "bf16")
+             else None)
+    model = get_network(net, 1, 2, dtype=dtype)
     rngs = {"params": jax.random.PRNGKey(0),
             "dropout": jax.random.PRNGKey(1)}
     img = jnp.asarray(np.random.RandomState(0).rand(1, *PATCH, 1),
                       jnp.float32)
+    variables = model.init(rngs, img, train=False)
+    return model, img, variables
+
+
+def run_train_metric(ctrl=None, net=None, dtype_name=None):
+    """unet3d supervised train-step throughput (train_sup_3d.py:191-239
+    protocol).  ctrl: torch-cpu steps/s (None -> unmeasured)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from hebbax.engine.state import TrainState
+    from hebbax.engine.steps import make_sup_train_step
+    from hebbax.ops.losses import segmentation_loss
+    from hebbax.utils.timing import measure_step
+
+    net = net or os.environ.get("BENCH3D_NET", "unet3d")
+    dtype_name = dtype_name or os.environ.get("BENCH3D_DTYPE", "bfloat16")
+    model, img, variables = _build(net, dtype_name)
     msk = jnp.asarray(np.random.RandomState(1).randint(
         0, 2, (1,) + PATCH), jnp.int32)
-    variables = model.init(rngs, img, train=False)
-
-    # train step (skip with BENCH3D_SKIP_TRAIN=1 — each compile costs
-    # minutes through the axon tunnel, so run the two metrics separately)
-    skip_train = bool(os.environ.get("BENCH3D_SKIP_TRAIN"))
     tx = optax.sgd(0.1, momentum=0.9)
     state = TrainState(params=variables["params"],
                        batch_stats=variables.get("batch_stats"),
                        opt_state=tx.init(variables["params"]), step=0)
     criterion = segmentation_loss("dice", False, num_classes=2)
-    if not skip_train:
-        from hebbax.utils.timing import measure_step
-        step = make_sup_train_step(model, "unet3d", criterion, tx)
-        batch = {"image": img, "mask": msk}
-        key = jax.random.PRNGKey(2)
-        dt = measure_step(step, state, batch, key, n1=10, n2=30)
-        state = None  # donated through measure_step's chain
-        variables = model.init(rngs, img, train=False)
-        state = TrainState(params=variables["params"],
-                           batch_stats=variables.get("batch_stats"),
-                           opt_state=tx.init(variables["params"]), step=0)
-        # the torch step is ~2 min on this host's CPU; measured once
-        # (0.00784 steps/s) and overridable so repeat bench runs can skip
-        # the re-measure with BENCH3D_TRAIN_CONTROL=0.00784
-        env_ctrl = os.environ.get("BENCH3D_TRAIN_CONTROL")
-        ctrl = (float(env_ctrl) if env_ctrl else
-                None if os.environ.get("BENCH3D_SKIP_CONTROL")
-                else torch_control_train_steps_per_sec())
-        unit = "patches/s (bs=1, 96x96x80)"
-        if ctrl:
-            unit += f"; torch-cpu control {ctrl:.3f} steps/s"
-        print(json.dumps(
-            {"metric": "atrial3d_unet3d_train_patches_per_sec",
-             "value": round(1 / dt, 2),
-             "unit": unit,
-             "vs_baseline": round((1 / dt) / ctrl, 2) if ctrl else None}),
-            flush=True)
-    if os.environ.get("BENCH3D_SKIP_INFER"):
-        return
+    step = make_sup_train_step(model, net, criterion, tx)
+    batch = {"image": img, "mask": msk}
+    key = jax.random.PRNGKey(2)
+    dt = measure_step(step, state, batch, key, n1=10, n2=30)
+    unit = f"patches/s (bs=1, 96x96x80, {net} {dtype_name})"
+    if ctrl:
+        unit += f"; torch-cpu control {ctrl:.3f} steps/s"
+    print(json.dumps(
+        {"metric": "atrial3d_unet3d_train_patches_per_sec",
+         "value": round(1 / dt, 2),
+         "unit": unit,
+         "vs_baseline": round((1 / dt) / ctrl, 2) if ctrl else None}),
+        flush=True)
+    return 1 / dt
 
-    # sliding-window inference — the train step donated the original
-    # variables, so rebuild them from the final train state; variables
-    # are threaded as slider args (not closure constants)
+
+def run_infer_metric(ctrl=None, net=None, dtype_name=None):
+    """Sliding-window inference volumes/s — the BASELINE.md north-star
+    (test_3d.py:119-168 protocol).  ctrl: torch-cpu volumes/s."""
+    import jax
+
+    from hebbax.engine.sliding import (grid_locations,
+                                       slide_window_inference_device)
+    from hebbax.models import primary_logits
+
+    net = net or os.environ.get("BENCH3D_NET", "unet3d")
+    dtype_name = dtype_name or os.environ.get("BENCH3D_DTYPE", "bfloat16")
+    model, img, variables = _build(net, dtype_name)
     bs = 4
-    inf_vars = {"params": state.params}
-    if state.batch_stats is not None:
-        inf_vars["batch_stats"] = state.batch_stats
+    inf_vars = {"params": variables["params"]}
+    if variables.get("batch_stats") is not None:
+        inf_vars["batch_stats"] = variables["batch_stats"]
 
     def forward(patches, vs):
         return primary_logits(
-            "unet3d", model.apply(vs, patches, train=False))
+            net, model.apply(vs, patches, train=False))
 
     vol = np.random.RandomState(2).rand(*VOL_SHAPE).astype(np.float32)
     n_patches = len(grid_locations(VOL_SHAPE, PATCH, OVERLAP))
@@ -219,17 +229,32 @@ def main():
         pending = (dev, crop)
     pending[1](pending[0])
     dt = (time.perf_counter() - t0) / reps
-    control = (None if os.environ.get("BENCH3D_SKIP_CONTROL")
-               else torch_control_volumes_per_sec())
-    vs = round((1 / dt) / control, 2) if control else None
+    vs = round((1 / dt) / ctrl, 2) if ctrl else None
     unit = (f"volumes/s ({VOL_SHAPE}, {n_patches} patches, bs={bs}, "
-            "uint8 on-device threshold)")
-    if control:
-        unit += f"; torch-cpu control {control:.4f} vol/s"
+            f"{net} {dtype_name}, uint8 on-device threshold)")
+    if ctrl:
+        unit += f"; torch-cpu control {ctrl:.4f} vol/s"
     print(json.dumps({"metric": "atrial3d_sliding_window_volumes_per_sec",
                       "value": round(1 / dt, 3),
                       "unit": unit,
-                      "vs_baseline": vs}))
+                      "vs_baseline": vs}), flush=True)
+    return 1 / dt
+
+
+def main():
+    """Standalone entry: controls measured inline (bench.py threads them
+    instead).  Env: BENCH3D_SKIP_{TRAIN,INFER,CONTROL},
+    BENCH3D_TRAIN_CONTROL=<steps/s>, BENCH3D_NET, BENCH3D_DTYPE."""
+    if not os.environ.get("BENCH3D_SKIP_TRAIN"):
+        env_ctrl = os.environ.get("BENCH3D_TRAIN_CONTROL")
+        ctrl = (float(env_ctrl) if env_ctrl else
+                None if os.environ.get("BENCH3D_SKIP_CONTROL")
+                else torch_control_train_steps_per_sec())
+        run_train_metric(ctrl)
+    if not os.environ.get("BENCH3D_SKIP_INFER"):
+        control = (None if os.environ.get("BENCH3D_SKIP_CONTROL")
+                   else torch_control_volumes_per_sec())
+        run_infer_metric(control)
 
 
 if __name__ == "__main__":

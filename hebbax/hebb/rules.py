@@ -64,9 +64,32 @@ def conv_fwd(x, w, strides, padding=None):
 
 def conv_transpose_fwd(x, w, strides):
     """Transpose convolution with the adjoint-of-conv (PyTorch) kernel
-    orientation: y[p] = sum_q x[q] * w[p - s*q]; output (i-1)*s + k."""
+    orientation: y[p] = sum_q x[q] * w[p - s*q]; output (i-1)*s + k.
+
+    k == strides fast path (every transpose site in the model zoo is
+    k=2, s=2): taps never overlap, so y[s*q + e] = x[q] @ w[e] — one
+    dense (I, prod(k)*O) matmul plus a depth-to-space reshape.  The
+    generic lhs-dilated conv makes the MXU multiply mostly-zero dilated
+    input (7/8 zero taps for k=s=2 in 3D); the matmul form does the
+    same math at 1x FLOPs and its vjp (the Hebbian _wgrad path) is a
+    matmul too."""
     nd = x.ndim - 2
     k = w.shape[:nd]
+    if tuple(k) == tuple(strides):
+        i, o = w.shape[nd], w.shape[nd + 1]
+        kp = functools.reduce(operator.mul, k, 1)
+        # (*k, I, O) -> (I, prod(k)*O), tap-major channel blocks
+        wm = jnp.moveaxis(w, nd, 0).reshape(i, kp * o)
+        y = jnp.einsum("...i,ie->...e", x, wm)
+        # depth-to-space: (N, *P, (e, o)) -> (N, *(k*P), O)
+        n, sp = y.shape[0], y.shape[1:-1]
+        y = y.reshape((n,) + sp + tuple(k) + (o,))
+        perm = [0]
+        for ax in range(nd):
+            perm += [1 + ax, 1 + nd + ax]
+        y = jnp.transpose(y, perm + [1 + 2 * nd])
+        return y.reshape((n,) + tuple(s * ki for s, ki in
+                                      zip(sp, k)) + (o,))
     w_flip = w[tuple(slice(None, None, -1) for _ in range(nd))]
     return lax.conv_general_dilated(
         x, w_flip, window_strides=(1,) * nd,
