@@ -214,17 +214,35 @@ def bench_torch_pretrain_reference():
         return None
 
 
+CONTROL_CACHE = os.environ.get(
+    "BENCH_CONTROL_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".bench_controls.json"))
+
+
 class _Controls:
     """torch-CPU reference controls, measured SEQUENTIALLY on one
     background thread so they overlap the TPU sections' multi-minute
-    tunnel compiles (they share no device with the TPU work; running
-    them one at a time avoids the controls contending with each other
-    for host cores)."""
+    tunnel compiles (they share no device with the TPU work).
+
+    This host has ONE core, so the thread runs at nice 19 — it consumes
+    only the cycles the TPU side leaves idle while blocked on the axon
+    tunnel (compile RPCs, fetches); measured control steps are
+    CPU-bound C loops whose own timing is unaffected when the main
+    thread is blocked.  Freshly measured values are persisted to
+    .bench_controls.json; if a control hasn't finished when its metric
+    needs it, the cached value from a previous run on this same host is
+    used and labeled."""
 
     def __init__(self, skip):
         import threading
         self._skip = skip
         self._results, self._done = {}, {}
+        try:
+            with open(CONTROL_CACHE) as f:
+                self._cache = json.load(f)
+        except Exception:
+            self._cache = {}
         if skip:
             return
         import bench_3d
@@ -247,6 +265,11 @@ class _Controls:
             self._done[name] = threading.Event()
 
         def work():
+            try:  # idle-priority: don't starve XLA tracing/lowering
+                os.setpriority(os.PRIO_PROCESS, threading.get_native_id(),
+                               19)
+            except Exception:
+                pass
             for name, fn in jobs:
                 try:
                     self._results[name] = fn()
@@ -254,20 +277,35 @@ class _Controls:
                     print(f"# control {name} failed: {e!r}", flush=True)
                     self._results[name] = None
                 self._done[name].set()
+                if self._results[name]:
+                    self._cache[name] = self._results[name]
+                    try:
+                        with open(CONTROL_CACHE, "w") as f:
+                            json.dump(self._cache, f, indent=1)
+                    except Exception:
+                        pass
 
         # daemon: a control still mid-measure at process exit must not
         # block the driver's budget
         threading.Thread(target=work, daemon=True).start()
 
     def get(self, name, timeout):
+        """-> (value, ' (cached control)' | '') — cached fallback when
+        the measure hasn't finished within timeout."""
         if self._skip:
-            return None
+            return None, ""
         ev = self._done.get(name)
-        if ev is None or not ev.wait(max(timeout, 1.0)):
-            print(f"# control {name} not ready within {timeout:.0f}s",
+        if ev is not None and ev.wait(max(timeout, 1.0)):
+            v = self._results.get(name)
+            if v:
+                return v, ""
+        cached = self._cache.get(name)
+        if cached:
+            print(f"# control {name}: using cached value {cached:.4g}",
                   flush=True)
-            return None
-        return self._results.get(name)
+            return cached, " (cached control)"
+        print(f"# control {name} unavailable", flush=True)
+        return None, ""
 
 
 def main():
@@ -298,12 +336,13 @@ def main():
     finally:
         NETWORK_OVERRIDE.update(old_net)
         DTYPE = old_dtype
-    baseline = controls.get("sup2d", timeout=min(remaining(), 240))
+    baseline, btag = controls.get("sup2d", timeout=min(remaining(), 240))
     headline = json.dumps({
         "metric": "glas2d_unet_train_images_per_sec",
         "value": round(imgs_fast, 2),
         "unit": (f"images/s (bs={BATCH}, {SIZE}x{SIZE}, "
-                 f"unet_s2d bf16 fast path; Dice parity 0.9986/0.9995)"),
+                 f"unet_s2d bf16 fast path; Dice parity 0.9986/0.9995)"
+                 + btag),
         "vs_baseline": (round(steps_fast / baseline, 2)
                         if baseline else None),
     })
@@ -319,18 +358,18 @@ def main():
             skip_note("3D train metric", 420)
         else:
             try:
-                ctrl = controls.get("train3d",
-                                    timeout=min(remaining() - 300, 240))
-                bench_3d.run_train_metric(ctrl)
+                ctrl, tag = controls.get(
+                    "train3d", timeout=min(remaining() - 300, 240))
+                bench_3d.run_train_metric(ctrl, ctrl_tag=tag)
             except Exception as e:
                 print(f"# bench_3d train failed: {e}", flush=True)
         if remaining() < 360:
             skip_note("3D sliding-window metric", 360)
         else:
             try:
-                ctrl = controls.get("infer3d",
-                                    timeout=min(remaining() - 240, 300))
-                bench_3d.run_infer_metric(ctrl)
+                ctrl, tag = controls.get(
+                    "infer3d", timeout=min(remaining() - 240, 300))
+                bench_3d.run_infer_metric(ctrl, ctrl_tag=tag)
             except Exception as e:
                 print(f"# bench_3d infer failed: {e}", flush=True)
 
@@ -344,7 +383,8 @@ def main():
                 "metric":
                     "glas2d_unet_train_images_per_sec_f32_parity_config",
                 "value": round(imgs_f32, 2),
-                "unit": f"images/s (bs={BATCH}, {SIZE}x{SIZE}, unet f32)",
+                "unit": (f"images/s (bs={BATCH}, {SIZE}x{SIZE}, "
+                         f"unet f32)" + btag),
                 "vs_baseline": (round(steps_f32 / baseline, 2)
                                 if baseline else None),
             }), flush=True)
@@ -355,11 +395,12 @@ def main():
             skip_note("Hebbian pretrain metric", 240)
         else:
             p_steps, p_imgs = bench_hebbax_pretrain()
-            p_base = controls.get("pre2d", timeout=min(remaining(), 120))
+            p_base, ptag = controls.get("pre2d",
+                                        timeout=min(remaining(), 120))
             print(json.dumps({
                 "metric": "glas2d_hebbian_swta_t_pretrain_images_per_sec",
                 "value": round(p_imgs, 2),
-                "unit": f"images/s (bs={BATCH}, {SIZE}x{SIZE})",
+                "unit": f"images/s (bs={BATCH}, {SIZE}x{SIZE})" + ptag,
                 "vs_baseline": (round(p_steps / p_base, 2)
                                 if p_base else None),
             }), flush=True)

@@ -151,7 +151,7 @@ def _build(net, dtype_name):
     return model, img, variables
 
 
-def run_train_metric(ctrl=None, net=None, dtype_name=None):
+def run_train_metric(ctrl=None, net=None, dtype_name=None, ctrl_tag=""):
     """unet3d supervised train-step throughput (train_sup_3d.py:191-239
     protocol).  ctrl: torch-cpu steps/s (None -> unmeasured)."""
     import jax
@@ -179,7 +179,7 @@ def run_train_metric(ctrl=None, net=None, dtype_name=None):
     dt = measure_step(step, state, batch, key, n1=10, n2=30)
     unit = f"patches/s (bs=1, 96x96x80, {net} {dtype_name})"
     if ctrl:
-        unit += f"; torch-cpu control {ctrl:.3f} steps/s"
+        unit += f"; torch-cpu control {ctrl:.3f} steps/s{ctrl_tag}"
     print(json.dumps(
         {"metric": "atrial3d_unet3d_train_patches_per_sec",
          "value": round(1 / dt, 2),
@@ -189,7 +189,7 @@ def run_train_metric(ctrl=None, net=None, dtype_name=None):
     return 1 / dt
 
 
-def run_infer_metric(ctrl=None, net=None, dtype_name=None):
+def run_infer_metric(ctrl=None, net=None, dtype_name=None, ctrl_tag=""):
     """Sliding-window inference volumes/s — the BASELINE.md north-star
     (test_3d.py:119-168 protocol).  ctrl: torch-cpu volumes/s."""
     import jax
@@ -233,7 +233,7 @@ def run_infer_metric(ctrl=None, net=None, dtype_name=None):
     unit = (f"volumes/s ({VOL_SHAPE}, {n_patches} patches, bs={bs}, "
             f"{net} {dtype_name}, uint8 on-device threshold)")
     if ctrl:
-        unit += f"; torch-cpu control {ctrl:.4f} vol/s"
+        unit += f"; torch-cpu control {ctrl:.4f} vol/s{ctrl_tag}"
     print(json.dumps({"metric": "atrial3d_sliding_window_volumes_per_sec",
                       "value": round(1 / dt, 3),
                       "unit": unit,

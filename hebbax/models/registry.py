@@ -38,6 +38,11 @@ _REGISTRY = {
                                  rngs=("perturb",))),
     "unet_cct_s2d": (UNetCCT2DS2D, dict(nd=2, outputs="deep4",
                                         rngs=("perturb",))),
+    # one 4N-batched shared-decoder apply instead of 4 serial passes;
+    # train-mode BN-stat deviation documented on the class — eval-exact
+    "unet_cct_s2d_batched": (
+        lambda **kw: UNetCCT2DS2D(batched_aux=True, **kw),
+        dict(nd=2, outputs="deep4", rngs=("perturb",))),
     "unet_vae": (UNetVAE2D, dict(nd=2, outputs="vae", rngs=("latent",))),
     "unet_superpix": (UNetSuperpix2D, dict(nd=2, outputs="superpix")),
     "unet_ddpm": (DDPMUNet, dict(nd=2, outputs="ddpm")),

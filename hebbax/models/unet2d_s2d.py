@@ -309,13 +309,25 @@ class UNetCCT2DS2D(nn.Module):
     levels folded — the decoder runs 4x (clean + 3 perturbations), so
     folding its small-channel half pays 4x.  Same parameter tree /
     checkpoints as ``unet_cct``; perturbations are applied in the
-    original layout (identical rng draws — see _perturb_folded)."""
+    original layout (identical rng draws — see _perturb_folded).
+
+    ``batched_aux=True`` (network 'unet_cct_s2d_batched') runs the
+    clean + 3 perturbed decoder passes as ONE 4N-batched apply instead
+    of 4 serial ones.  Same parameter tree.  DOCUMENTED deviation from
+    the reference protocol, train mode only: BatchNorm batch statistics
+    are computed over the combined 4N batch (the serial protocol
+    normalizes each pass with its own N-sample stats and folds running
+    stats in sequentially), and decoder dropout masks are drawn once
+    for the 4N batch (still i.i.d. per sample).  Eval mode has no
+    perturbed passes, so eval outputs/checkpoints stay exactly
+    interchangeable."""
 
     in_channels: int
     n_cls: int
     hebb: Optional[HebbSpec] = None
     init_type: str = "kaiming"
     dtype: Optional[jnp.dtype] = None
+    batched_aux: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -341,16 +353,23 @@ class UNetCCT2DS2D(nn.Module):
             d = ups[3](d, x0f, train)
             return s2d.unfold(head(d, train))
 
+        if not self.has_rng("perturb"):
+            main = decode(feats)
+            return main, main, main, main
+        keys = jax.random.split(self.make_rng("perturb"), 3)
+        pert = [_perturb_folded(keys[i], feats, kind)
+                for i, kind in enumerate(("noise", "dropout",
+                                          "feature_dropout"))]
+        if self.batched_aux:
+            n = x.shape[0]
+            stacked = [jnp.concatenate(
+                [feats[lv]] + [p[lv] for p in pert], axis=0)
+                for lv in range(5)]
+            out = decode(stacked)
+            return tuple(out[i * n:(i + 1) * n] for i in range(4))
         main = decode(feats)
-        if self.has_rng("perturb"):
-            keys = jax.random.split(self.make_rng("perturb"), 3)
-            aux1 = decode(_perturb_folded(keys[0], feats, "noise"))
-            aux2 = decode(_perturb_folded(keys[1], feats, "dropout"))
-            aux3 = decode(_perturb_folded(keys[2], feats,
-                                          "feature_dropout"))
-        else:
-            aux1 = aux2 = aux3 = main
-        return main, aux1, aux2, aux3
+        aux = [decode(p) for p in pert]
+        return (main, *aux)
 
 
 class UNet2DS2D(nn.Module):

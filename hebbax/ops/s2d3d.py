@@ -1,0 +1,177 @@
+"""Space-to-depth folding for 3D convolutions, with per-axis factors.
+
+Rank-3 generalization of :mod:`hebbax.ops.s2d` (see that module's
+docstring for the math).  The 3D UNet family's top levels (C = 32..64 at
+96x96x80) underfill the 128-wide MXU lane axis 2-4x; folding spatial
+blocks into channels makes the contraction MXU-shaped at the cost of
+``prod(f)``x FLOPs — so unlike the 2D case (C=16, always fold 2x2), the
+profitable factor per axis must be MEASURED (scripts/microbench_conv3d.py)
+and may be (2,2,2), (2,2,1), (1,1,1) = off, etc.
+
+A 3x3x3 stride-1 conv on the original tensor is EXACTLY a 3x3x3 stride-1
+conv on the folded tensor with a structured (prod(f)·Ci, prod(f)·Co)
+block kernel built by :func:`fold_conv_kernel3`.  Folded channel order is
+``((dz, dy, dx) subpixel-major, then c)``; concatenations of folded
+tensors keep per-source blocks (``in_groups``).
+
+The k=2/s=2 transpose conv (Decoder3D upconv) folds for FREE: its taps
+never overlap, so with full per-axis folding it is a dense
+``(Ci, prod(f)·Co)`` 1x1x1 conv emitting the folded output directly
+(:func:`transpose_kernel_matrix`) — 1x FLOPs, ideal MXU shape.
+
+Everything here is exact in f32 — verified against the unfolded ops in
+tests/test_s2d3d.py.  Reference contract for the consumers:
+/root/reference/models/networks_3d/unet3d.py:31-126.
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def prodf(f):
+    fz, fy, fx = f
+    return fz * fy * fx
+
+
+def fold3(x, f):
+    """(N, D, H, W, C) -> (N, D/fz, H/fy, W/fx, prod(f)·C); channel
+    order ((dz, dy, dx) subpixel-major, c)."""
+    n, d, h, w, c = x.shape
+    fz, fy, fx = f
+    if d % fz or h % fy or w % fx:
+        raise ValueError(
+            f"space-to-depth fold {f} needs divisible spatial dims, "
+            f"got {(d, h, w)}")
+    x = x.reshape(n, d // fz, fz, h // fy, fy, w // fx, fx, c)
+    x = jnp.transpose(x, (0, 1, 3, 5, 2, 4, 6, 7))
+    return x.reshape(n, d // fz, h // fy, w // fx, fz * fy * fx * c)
+
+
+def unfold3(x, f):
+    """Inverse of :func:`fold3`."""
+    n, p, q, r, cf = x.shape
+    fz, fy, fx = f
+    c = cf // (fz * fy * fx)
+    x = x.reshape(n, p, q, r, fz, fy, fx, c)
+    x = jnp.transpose(x, (0, 1, 4, 2, 5, 3, 6, 7))
+    return x.reshape(n, p * fz, q * fy, r * fx, c)
+
+
+@functools.lru_cache(maxsize=None)
+def _axis_selector(k: int, f: int):
+    """Constant 0/1 selector A[t, T, d, e]: original tap t scatters to
+    folded tap T between input subpixel d and output subpixel e
+    (s2d._selector, one axis).  f=1 -> identity."""
+    a = np.zeros((k, k, f, f), np.float32)
+    if f == 1:
+        for t in range(k):
+            a[t, t, 0, 0] = 1.0
+        return a
+    half = k // 2
+    for e in range(f):
+        for t in range(k):
+            big_t, d = divmod(e + t - half, f)
+            a[t, big_t + half, d, e] = 1.0
+    return a
+
+
+def folded_kernel_shape3(k, in_groups, co, f):
+    p = prodf(f)
+    return (k, k, k, p * sum(in_groups), p * co)
+
+
+def fold_conv_kernel3(w, in_groups, f):
+    """Build the folded kernel from an original (k, k, k, Ci, Co) kernel.
+
+    in_groups: original channel counts of the folded input's
+    concatenated sources; sum(in_groups) == Ci.
+    """
+    kz, ky, kx, ci, co = w.shape
+    assert sum(in_groups) == ci, (in_groups, ci)
+    fz, fy, fx = f
+    p = prodf(f)
+    sz = jnp.asarray(_axis_selector(kz, fz), w.dtype)
+    sy = jnp.asarray(_axis_selector(ky, fy), w.dtype)
+    sx = jnp.asarray(_axis_selector(kx, fx), w.dtype)
+    parts, off = [], 0
+    for g in in_groups:
+        wf = jnp.einsum("zZde,yYfg,xXhi,zyxmn->ZYXdfhmegin",
+                        sz, sy, sx, w[:, :, :, off:off + g, :],
+                        precision=jax.lax.Precision.HIGHEST)
+        parts.append(wf.reshape(kz, ky, kx, p * g, p * co))
+        off += g
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=3)
+
+
+def unfold_wgrad3(gf, k, in_groups, co, f, dtype=None):
+    """Map a folded-kernel gradient back to the original kernel (each
+    original tap accumulates its subpixel slots)."""
+    fz, fy, fx = f
+    p = prodf(f)
+    sz = jnp.asarray(_axis_selector(k, fz), gf.dtype)
+    sy = jnp.asarray(_axis_selector(k, fy), gf.dtype)
+    sx = jnp.asarray(_axis_selector(k, fx), gf.dtype)
+    parts, off = [], 0
+    for g in in_groups:
+        gf_g = gf[:, :, :, off:off + p * g, :].reshape(
+            k, k, k, fz, fy, fx, g, fz, fy, fx, co)
+        parts.append(jnp.einsum(
+            "zZde,yYfg,xXhi,ZYXdfhmegin->zyxmn", sz, sy, sx, gf_g,
+            precision=jax.lax.Precision.HIGHEST))
+        off += p * g
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=3)
+    return out.astype(dtype) if dtype else out
+
+
+def fold_bias3(b, f):
+    """Original per-Co bias -> folded prod(f)·Co bias (subpixel-major)."""
+    return jnp.tile(b, prodf(f))
+
+
+def transpose_kernel_matrix(w, f):
+    """k=2/s=2 transpose conv emitting a FOLDED output: taps never
+    overlap, so y_folded[p, ((ez,ey,ex), o)] = x[p] @ w[ez,ey,ex,:,o].
+    Requires f == kernel size per axis (full fold).  Returns the
+    (Ci, prod(f)·Co) matrix for a 1x1x1 conv / einsum apply."""
+    kz, ky, kx, ci, co = w.shape
+    assert (kz, ky, kx) == tuple(f), ((kz, ky, kx), f)
+    return jnp.moveaxis(w, 3, 0).reshape(ci, kz * ky * kx * co)
+
+
+def subpixel_max3(x, f):
+    """2x2x2/stride-2 maxpool of the ORIGINAL tensor computed on the
+    folded tensor; the result is the UNFOLDED half-resolution output.
+    Axes with f==2 reduce over their subpixel block; axes with f==1
+    reduce over adjacent spatial pairs."""
+    n, p, q, r, cf = x.shape
+    fz, fy, fx = f
+    c = cf // (fz * fy * fx)
+    x = jnp.max(x.reshape(n, p, q, r, fz * fy * fx, c), axis=4)
+    # pairwise max along axes the fold didn't cover
+    if fz == 1:
+        x = jnp.max(x.reshape(n, p // 2, 2, q, r, c), axis=2)
+        p //= 2
+    if fy == 1:
+        x = jnp.max(x.reshape(n, p, q // 2, 2, r, c), axis=3)
+        q //= 2
+    if fx == 1:
+        x = jnp.max(x.reshape(n, p, q, r // 2, 2, c), axis=4)
+    return x
+
+
+def per_subpixel3(fn, x, f, co=None):
+    """Apply fn over the original-channel axis of a folded tensor."""
+    n, p, q, r, cf = x.shape
+    pf = prodf(f)
+    c = cf // pf if co is None else co
+    y = fn(x.reshape(n, p, q, r, pf, c))
+    return y.reshape(n, p, q, r, pf * y.shape[-1])
+
+
+__all__ = ["fold3", "unfold3", "fold_conv_kernel3", "unfold_wgrad3",
+           "fold_bias3", "subpixel_max3", "per_subpixel3", "prodf",
+           "folded_kernel_shape3", "transpose_kernel_matrix"]

@@ -86,7 +86,7 @@ def eval_metric(logits_fn, val_x, val_y, bs=8):
 
 
 def run_hebbax(arrays, epochs, bs, lr, seed=0, network="unet",
-               dtype=None):
+               dtype=None, protocol="fixed_adam"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -103,7 +103,18 @@ def run_hebbax(arrays, epochs, bs, lr, seed=0, network="unet",
     rngs = {"params": jax.random.PRNGKey(seed),
             "dropout": jax.random.PRNGKey(seed + 1)}
     variables = model.init(rngs, jnp.asarray(tr_x[:1]), train=False)
-    tx = optax.adam(lr)
+    if protocol == "reference":
+        # train_sup_2d.py:180-188: SGD lr 0.5 momentum 0.9 wd 5e-5,
+        # 20-epoch warmup + StepLR(50, 0.5) stepped once per epoch
+        from hebbax.config.schedules import (make_optimizer,
+                                             warmup_step_schedule)
+        n_steps = max(1, len(tr_x) // bs)
+        sched = warmup_step_schedule(lr, warmup=20, step_size=50,
+                                     gamma=0.5, steps_per_epoch=n_steps)
+        tx = make_optimizer("sgd", sched, momentum=0.9,
+                            weight_decay=5e-5)
+    else:
+        tx = optax.adam(lr)
     state = TrainState(params=variables["params"],
                        batch_stats=variables.get("batch_stats"),
                        opt_state=tx.init(variables["params"]), step=0)
@@ -128,7 +139,8 @@ def run_hebbax(arrays, epochs, bs, lr, seed=0, network="unet",
     return traj
 
 
-def run_torch_reference(arrays, epochs, bs, lr, seed=0):
+def run_torch_reference(arrays, epochs, bs, lr, seed=0,
+                        protocol="fixed_adam"):
     import torch
 
     u = load_module(os.path.join("/root/reference",
@@ -141,7 +153,21 @@ def run_torch_reference(arrays, epochs, bs, lr, seed=0):
     va_x, va_y = arrays["val"]
     model = u.UNet_Transposed_Leaky(3, 2).train()
     criterion = ref_loss("dice", False)
-    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    sched = None
+    if protocol == "reference":
+        # the reference's own optimizer + vendored warmup scheduler
+        # (train_sup_2d.py:180-188, stepped once per epoch at :244)
+        from torch.optim import lr_scheduler
+
+        from config.warmup_config.warmup import GradualWarmupScheduler
+        opt = torch.optim.SGD(model.parameters(), lr=lr, momentum=0.9,
+                              weight_decay=5e-5)
+        after = lr_scheduler.StepLR(opt, step_size=50, gamma=0.5)
+        sched = GradualWarmupScheduler(opt, multiplier=1.0,
+                                       total_epoch=20,
+                                       after_scheduler=after)
+    else:
+        opt = torch.optim.Adam(model.parameters(), lr=lr)
 
     def to_nchw(x):
         return torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
@@ -156,6 +182,8 @@ def run_torch_reference(arrays, epochs, bs, lr, seed=0):
                 tr_y[b][:, None].astype(np.int64)))
             loss.backward()
             opt.step()
+        if sched is not None:
+            sched.step()
         model.eval()
 
         def fwd(x):
@@ -179,6 +207,11 @@ def main():
                         "TPU fast path; checkpoints interchangeable)")
     p.add_argument("--dtype", default="float32",
                    help="hebbax compute dtype (float32 | bfloat16)")
+    p.add_argument("--protocol", default="fixed_adam",
+                   choices=["fixed_adam", "reference"],
+                   help="'reference' = train_sup_2d.py:180-188 exact "
+                        "config (SGD lr 0.5 + warmup 20 + StepLR(50,.5) "
+                        "+ wd 5e-5); pass --lr 0.5 with it")
     p.add_argument("--reference_best", type=float, default=None,
                    help="skip the (slow) torch control and compare "
                         "against this stored best val Dice")
@@ -187,17 +220,19 @@ def main():
     arrays = make_data(args.out, args.size)
     if args.reference_best is None:
         ref = run_torch_reference(arrays, args.epochs, args.batch_size,
-                                  args.lr)
+                                  args.lr, protocol=args.protocol)
     else:
         ref = [(0.5, args.reference_best, args.reference_best)]
     heb = run_hebbax(arrays, args.epochs, args.batch_size, args.lr,
-                     network=args.network, dtype=args.dtype)
+                     network=args.network, dtype=args.dtype,
+                     protocol=args.protocol)
     best_ref = max(t[2] for t in ref)
     best_heb = max(t[2] for t in heb)
     print(json.dumps({
         "config": {"epochs": args.epochs, "size": args.size,
                    "batch_size": args.batch_size, "lr": args.lr,
-                   "network": args.network, "dtype": args.dtype},
+                   "network": args.network, "dtype": args.dtype,
+                   "protocol": args.protocol},
         "reference_val_thr_ji_dice_per_epoch": ref,
         "hebbax_val_thr_ji_dice_per_epoch": heb,
         "best_val_dice": {"reference": round(best_ref, 4),
