@@ -282,3 +282,148 @@ class FoldedHConv(nn.Module):
         dec = jnp.einsum("ab,...b->...a",
                          m * rules._sanger_tril(co, w_d.dtype), w_d)
         return pos - dec
+
+
+class FoldedHConv3(nn.Module):
+    """HConv (3D) computed in space-to-depth folded layout (ops/s2d3d).
+
+    Parameters are IDENTICAL to HConv — the original (k, k, k, Ci, Co)
+    kernel and (Co,) bias — so checkpoints, Hebbian exclusion paths and
+    param-count parity are unchanged; only the compute layout differs.
+    ``fold`` gives the per-axis spatial factors (measured-profitable
+    default (2,1,1) for the C=64 top level: 2x FLOPs at ~125 vs
+    ~46 TF/s — scripts/microbench_conv3d.py).  Input/output are FOLDED
+    tensors; ``in_groups`` gives the original channel counts of the
+    folded input's concatenated sources.  Stride-1 forward convs only.
+    Exactness vs HConv is asserted in tests/test_unet3d_s2d.py."""
+
+    features: int
+    kernel_size: int
+    in_groups: Sequence[int]
+    fold: Sequence[int] = (2, 1, 1)
+    use_bias: bool = True
+    hebb: Optional[HebbSpec] = None
+    init_type: str = "kaiming"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ..ops import s2d3d
+
+        k = int(self.kernel_size)
+        f = tuple(int(a) for a in self.fold)
+        pf = s2d3d.prodf(f)
+        ci = sum(self.in_groups)
+        assert x.shape[-1] == pf * ci, (x.shape, self.in_groups, f)
+        kernel = self.param(
+            "kernel", torch_kernel_init(self.init_type, False),
+            (k, k, k, ci, self.features))
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,))
+                if self.use_bias else None)
+
+        spec = spec_if_active(self.hebb, self.path)
+        dtype = self.dtype or x.dtype
+        w = kernel
+        if spec is not None and spec.w_nrm:
+            w = rules.normalize(w, rules.weight_norm_axes(3, False))
+        w = w.astype(dtype)
+        x = x.astype(dtype)
+
+        in_groups = tuple(int(g) for g in self.in_groups)
+        wf = s2d3d.fold_conv_kernel3(w, in_groups, f)
+        pad = ((k // 2, k // 2),) * 3
+        y = rules.conv_fwd(x, wf, (1, 1, 1), pad)
+        if bias is not None:
+            y = y + s2d3d.fold_bias3(bias.astype(dtype), f)
+
+        if spec is not None and train and spec.alpha != 0:
+            mode = spec.conv_mode(False)
+            if mode not in ("swta", "hpca"):
+                raise NotImplementedError(
+                    f"FoldedHConv3 supports swta/hpca, got {mode!r}")
+            ddt = rules.delta_compute_dtype()
+            w_d = jax.lax.stop_gradient(kernel).astype(ddt)
+            # unfold x/y (relayouts) and run the original-layout rule —
+            # the folded wgrad computes prod(f)^2 redundant slots
+            parts, off = [], 0
+            for g in in_groups:
+                parts.append(s2d3d.unfold3(
+                    jax.lax.stop_gradient(x[..., off:off + pf * g])
+                    .astype(ddt), f))
+                off += pf * g
+            xu = parts[0] if len(parts) == 1 else jnp.concatenate(
+                parts, axis=-1)
+            yu = s2d3d.unfold3(
+                jax.lax.stop_gradient(y).astype(ddt), f)
+            if mode == "swta":
+                delta = rules.swta_conv_delta(w_d, xu, yu, spec.k,
+                                              (1, 1, 1), padding=pad)
+            else:
+                delta = rules.hpca_conv_delta(w_d, xu, yu, (1, 1, 1),
+                                              padding=pad)
+            self.sow("hebb", "delta",
+                     jax.lax.stop_gradient(delta.astype(jnp.float32)),
+                     init_fn=lambda: 0.0,
+                     reduce_fn=lambda acc, v: acc + v)
+        return y
+
+
+class FoldedHConvTranspose3(nn.Module):
+    """HConvTranspose (k=2, s=2) whose OUTPUT is space-to-depth folded:
+    the f==2 axes' taps absorb into output channel blocks
+    (ops/s2d3d.fold_transpose_kernel3), so the op is a dense matmul —
+    1x FLOPs, ideal MXU shape.  Input arrives UNFOLDED (the deeper,
+    already-aligned level).  Params identical to HConvTranspose."""
+
+    features: int
+    fold: Sequence[int] = (2, 1, 1)
+    use_bias: bool = True
+    hebb: Optional[HebbSpec] = None
+    init_type: str = "kaiming"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ..ops import s2d3d
+
+        f = tuple(int(a) for a in self.fold)
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_kernel_init(self.init_type, True),
+            (2, 2, 2, in_ch, self.features))
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,))
+                if self.use_bias else None)
+
+        spec = spec_if_active(self.hebb, self.path)
+        dtype = self.dtype or x.dtype
+        w = kernel
+        if spec is not None and spec.w_nrm:
+            w = rules.normalize(w, rules.weight_norm_axes(3, True))
+        w = w.astype(dtype)
+        x = x.astype(dtype)
+
+        wf, strides = s2d3d.fold_transpose_kernel3(w, f)
+        y = rules.conv_transpose_fwd(x, wf, strides)
+        if bias is not None:
+            y = y + s2d3d.fold_bias3(bias.astype(dtype), f)
+
+        if spec is not None and train and spec.alpha != 0:
+            key = (self.make_rng("hebb")
+                   if spec.conv_mode(True) == "contrastive" else None)
+            ddt = rules.delta_compute_dtype()
+            yu = s2d3d.unfold3(
+                jax.lax.stop_gradient(y).astype(ddt), f)
+            delta = rules.compute_delta(
+                spec, jax.lax.stop_gradient(kernel).astype(ddt),
+                jax.lax.stop_gradient(x).astype(ddt), yu,
+                (2, 2, 2), True, key=key,
+                bias=None if bias is None
+                else jax.lax.stop_gradient(bias).astype(ddt),
+                padding=None)
+            self.sow("hebb", "delta",
+                     jax.lax.stop_gradient(delta.astype(jnp.float32)),
+                     init_fn=lambda: 0.0,
+                     reduce_fn=lambda acc, v: acc + v)
+        return y

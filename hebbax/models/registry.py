@@ -21,6 +21,7 @@ from .snn import ANNVGG, SNNVGG
 from .unet2d import (UNet2D, UNetCCT2D, UNetSuperpix2D, UNetURPC2D,
                      UNetVAE2D)
 from .unet2d_s2d import UNet2DS2D, UNetCCT2DS2D, UNetURPC2DS2D
+from .unet3d_s2d import UNet3DS2D
 from .unet3d import UNet3D, UNet3DCCT, UNet3DDTC, UNet3DSuperpix, UNet3DVAE
 from .urpc3d import UNet3DURPC
 from .vnet import VNet, VNetCCT, VNetDTC
@@ -56,6 +57,9 @@ _REGISTRY = {
                 dict(nd=2, outputs="single")),
     # 3D
     "unet3d": (UNet3D, dict(nd=3, outputs="single")),
+    # space-to-depth folded full-res level: same params/checkpoints as
+    # "unet3d", lane-dense compute layout (models/unet3d_s2d.py)
+    "unet3d_s2d": (UNet3DS2D, dict(nd=3, outputs="single")),
     "unet3d_min": (lambda **kw: UNet3D(init_features=32, **kw),
                    dict(nd=3, outputs="single")),
     "unet3d_urpc": (UNet3DURPC, dict(nd=3, outputs="deep4")),

@@ -142,25 +142,80 @@ def transpose_kernel_matrix(w, f):
     return jnp.moveaxis(w, 3, 0).reshape(ci, kz * ky * kx * co)
 
 
+def fold_transpose_kernel3(w, f):
+    """k=2/s=2 transpose conv whose output is FOLDED on the f==2 axes:
+    those axes' taps never overlap, so each absorbs into the output
+    channel block; axes with f==1 keep their k=2/s=2 structure.
+
+    Returns (w', strides'): w' has kernel dims (1 if f==2 else 2) and
+    prod(f)·Co output channels in fold3's subpixel-major order, so
+    ``rules.conv_transpose_fwd(x, w', strides')`` emits the folded
+    output directly (and takes the k==s matmul fast path)."""
+    kz, ky, kx, ci, co = w.shape
+    assert (kz, ky, kx) == (2, 2, 2), (kz, ky, kx)
+    kept = [ax for ax in range(3) if f[ax] == 1]
+    absorbed = [ax for ax in range(3) if f[ax] == 2]
+    perm = kept + [3] + absorbed + [4]
+    wt = jnp.transpose(w, perm)
+    pf = prodf(f)
+    shape = tuple(1 if f[ax] == 2 else 2 for ax in range(3)) \
+        + (ci, pf * co)
+    strides = tuple(1 if f[ax] == 2 else 2 for ax in range(3))
+    return wt.reshape(shape), strides
+
+
 def subpixel_max3(x, f):
     """2x2x2/stride-2 maxpool of the ORIGINAL tensor computed on the
     folded tensor; the result is the UNFOLDED half-resolution output.
     Axes with f==2 reduce over their subpixel block; axes with f==1
-    reduce over adjacent spatial pairs."""
+    reduce over adjacent spatial pairs.
+
+    The backward is a custom vjp replicating lax.reduce_window's
+    select-and-scatter EXACTLY: the cotangent routes to the FIRST
+    window element (in (z, y, x) row-major order) achieving the max —
+    post-relu zero ties make the default chained-jnp.max subgradient
+    differ from the unfolded model's (tests/test_unet3d_s2d.py)."""
+    return _spmax(tuple(int(a) for a in f), x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _spmax(f, x):
     n, p, q, r, cf = x.shape
     fz, fy, fx = f
     c = cf // (fz * fy * fx)
-    x = jnp.max(x.reshape(n, p, q, r, fz * fy * fx, c), axis=4)
-    # pairwise max along axes the fold didn't cover
+    y = jnp.max(x.reshape(n, p, q, r, fz * fy * fx, c), axis=4)
     if fz == 1:
-        x = jnp.max(x.reshape(n, p // 2, 2, q, r, c), axis=2)
+        y = jnp.max(y.reshape(n, p // 2, 2, q, r, c), axis=2)
         p //= 2
     if fy == 1:
-        x = jnp.max(x.reshape(n, p, q // 2, 2, r, c), axis=3)
+        y = jnp.max(y.reshape(n, p, q // 2, 2, r, c), axis=3)
         q //= 2
     if fx == 1:
-        x = jnp.max(x.reshape(n, p, q, r // 2, 2, c), axis=4)
-    return x
+        y = jnp.max(y.reshape(n, p, q, r // 2, 2, c), axis=4)
+    return y
+
+
+def _spmax_fwd(f, x):
+    return _spmax(f, x), x
+
+
+def _spmax_bwd(f, x, g):
+    xu = unfold3(x, f)
+    n, d, h, w, c = xu.shape
+    ew = xu.reshape(n, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    ew = jnp.transpose(ew, (0, 1, 3, 5, 2, 4, 6, 7)).reshape(
+        n, d // 2, h // 2, w // 2, 8, c)
+    m = ew == jnp.max(ew, axis=4, keepdims=True)
+    first = jnp.logical_and(m, jnp.cumsum(m.astype(jnp.int32),
+                                          axis=4) == 1)
+    gx = jnp.where(first, g[..., None, :], 0).astype(x.dtype)
+    gx = gx.reshape(n, d // 2, h // 2, w // 2, 2, 2, 2, c)
+    gx = jnp.transpose(gx, (0, 1, 4, 2, 5, 3, 6, 7)).reshape(
+        n, d, h, w, c)
+    return (fold3(gx, f),)
+
+
+_spmax.defvjp(_spmax_fwd, _spmax_bwd)
 
 
 def per_subpixel3(fn, x, f, co=None):

@@ -53,7 +53,8 @@ def labeled_subset(n, frac=0.2, seed=7):
 
 
 # ---------------------------------------------------------------- torch
-def torch_cycle(arrays, pre_epochs, ft_epochs, bs, lr, seed=0):
+def torch_cycle(arrays, pre_epochs, ft_epochs, bs, lr, seed=0,
+                frac=0.2):
     import torch
 
     u = load_module("/root/reference/models/networks_2d/unet.py",
@@ -64,7 +65,7 @@ def torch_cycle(arrays, pre_epochs, ft_epochs, bs, lr, seed=0):
 
     tr_x, tr_y = arrays["train"]
     va_x, va_y = arrays["val"]
-    lab = labeled_subset(len(tr_x))
+    lab = labeled_subset(len(tr_x), frac)
     criterion = ref_loss("dice", False)
 
     def to_nchw(x):
@@ -80,9 +81,10 @@ def torch_cycle(arrays, pre_epochs, ft_epochs, bs, lr, seed=0):
     def finetune(model, tag):
         opt = torch.optim.Adam(model.parameters(), lr=lr)
         best = 0.0
+        bs_ft = min(bs, len(lab))  # 20% subset can be < batch size
         for epoch in range(ft_epochs):
             model.train()
-            for b in batches(len(lab), bs, epoch):
+            for b in batches(len(lab), bs_ft, epoch):
                 idx = lab[b]
                 opt.zero_grad()
                 loss = criterion(model(to_nchw(tr_x[idx])),
@@ -95,13 +97,18 @@ def torch_cycle(arrays, pre_epochs, ft_epochs, bs, lr, seed=0):
         print(f"# torch {tag}: best val Dice {best:.4f}", flush=True)
         return best
 
-    # 1. pretrain (full train set, head-only backprop + local_update)
+    # 1. pretrain (full train set, head-only backprop + local_update);
+    #    best-probe-epoch snapshot, mirroring the reference's best_JI
+    #    checkpoint protocol (utils save on improved val metric)
     torch.manual_seed(seed)
     model = u.UNet_Transposed_Leaky(3, 2)
     makehebbian(model, exclude=EXCLUDE, hebb_params=dict(HEBB))
     model.train()
     opt = torch.optim.Adam(model.parameters(), lr=lr)
+    probe, sd = 0.0, {k: v.clone()
+                      for k, v in model.state_dict().items()}
     for epoch in range(pre_epochs):
+        model.train()
         for b in batches(len(tr_x), bs, epoch):
             opt.zero_grad()
             loss = criterion(model(to_nchw(tr_x[b])),
@@ -112,9 +119,11 @@ def torch_cycle(arrays, pre_epochs, ft_epochs, bs, lr, seed=0):
                 if hasattr(m, "local_update"):
                     m.local_update()
             opt.step()
-    model.eval()
-    probe = eval_metric(eval_fwd(model), va_x, va_y)[2]
-    sd = {k: v.clone() for k, v in model.state_dict().items()}
+        model.eval()
+        d = eval_metric(eval_fwd(model), va_x, va_y)[2]
+        if d > probe:
+            probe = d
+            sd = {k: v.clone() for k, v in model.state_dict().items()}
 
     # 2. fine-tune from pretrain: alpha=0 forward, head re-kaiming'd,
     #    everything trainable (train_sup_2d.py:150-168)
@@ -141,7 +150,7 @@ def torch_cycle(arrays, pre_epochs, ft_epochs, bs, lr, seed=0):
 
 # --------------------------------------------------------------- hebbax
 def hebbax_cycle(arrays, pre_epochs, ft_epochs, bs, lr, seed=0,
-                 network="unet"):
+                 network="unet", frac=0.2):
     import jax
     import jax.numpy as jnp
     import optax
@@ -156,7 +165,7 @@ def hebbax_cycle(arrays, pre_epochs, ft_epochs, bs, lr, seed=0,
 
     tr_x, tr_y = arrays["train"]
     va_x, va_y = arrays["val"]
-    lab = labeled_subset(len(tr_x))
+    lab = labeled_subset(len(tr_x), frac)
     criterion = segmentation_loss("dice", False, num_classes=2)
 
     def train(model, variables, step_fn, xs, ys, epochs, lab_idx=None):
@@ -167,8 +176,9 @@ def hebbax_cycle(arrays, pre_epochs, ft_epochs, bs, lr, seed=0,
         eval_step = make_eval_step(model, "unet")
         best, best_state = 0.0, None
         n = len(xs) if lab_idx is None else len(lab_idx)
+        bs_eff = min(bs, n)  # 20% subset can be < batch size
         for epoch in range(epochs):
-            for i, b in enumerate(batches(n, bs, epoch)):
+            for i, b in enumerate(batches(n, bs_eff, epoch)):
                 idx = b if lab_idx is None else lab_idx[b]
                 batch = {"image": jnp.asarray(xs[idx]),
                          "mask": jnp.asarray(ys[idx])}
@@ -182,7 +192,11 @@ def hebbax_cycle(arrays, pre_epochs, ft_epochs, bs, lr, seed=0,
 
             d = eval_metric(fwd, va_x, va_y)[2]
             if d > best:
-                best, best_state = d, variables_e
+                # host copies: the jitted step DONATES its state, so a
+                # kept reference to a live epoch's buffers would be
+                # deleted by the next step
+                best, best_state = d, jax.tree_util.tree_map(
+                    np.asarray, variables_e)
         return best, best_state
 
     # 1. pretrain
@@ -245,16 +259,25 @@ def main():
     p.add_argument("--lr", default=1e-3, type=float)
     p.add_argument("--out", default="/tmp/parity_hebb")
     p.add_argument("--skip_torch", action="store_true")
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--label_frac", default=0.2, type=float)
+    p.add_argument("--n_train", default=64, type=int)
+    p.add_argument("--n_val", default=24, type=int)
     args = p.parse_args()
 
-    arrays = make_data(args.out, args.size)
+    # key the dataset dir by its config: make_data reuses an existing
+    # dir, so changing n_train/size must not silently serve stale data
+    out = f"{args.out}_{args.size}_{args.n_train}_{args.n_val}"
+    arrays = make_data(out, args.size, n_train=args.n_train,
+                       n_val=args.n_val)
     res = {"config": vars(args)}
     res["hebbax"] = hebbax_cycle(arrays, args.pre_epochs, args.ft_epochs,
-                                 args.batch_size, args.lr)
+                                 args.batch_size, args.lr,
+                                 seed=args.seed, frac=args.label_frac)
     if not args.skip_torch:
         res["torch_reference"] = torch_cycle(
             arrays, args.pre_epochs, args.ft_epochs, args.batch_size,
-            args.lr)
+            args.lr, seed=args.seed, frac=args.label_frac)
     print(json.dumps(res, indent=1))
 
 

@@ -102,3 +102,17 @@ def test_fold_bias():
     x = jnp.zeros((1, 2, 2, 4, 12))
     assert jnp.array_equal(
         s2d3d.unfold3(x + bf, (2, 2, 1))[0, 0, 0, 0], b)
+
+
+@pytest.mark.parametrize("f", FACTORS)
+def test_fold_transpose_kernel_exact(f):
+    """k2/s2 transpose emitting a partially/fully folded output ==
+    fold3 of the unfolded transpose output."""
+    ci, co = 3, 4
+    x = _rand((2, 3, 4, 5, ci), 11)
+    w = _rand((2, 2, 2, ci, co), 12)
+    ref = s2d3d.fold3(rules.conv_transpose_fwd(x, w, (2, 2, 2)), f)
+    wf, strides = s2d3d.fold_transpose_kernel3(w, f)
+    got = rules.conv_transpose_fwd(x, wf, strides)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5)
