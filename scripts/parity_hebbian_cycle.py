@@ -138,9 +138,15 @@ def torch_cycle(arrays, pre_epochs, ft_epochs, bs, lr, seed=0,
         p.requires_grad = True
     best_pre = finetune(ft, "finetune-from-hebbian")
 
-    # 3. fine-tune from random init (plain net)
+    # 3. fine-tune from random init (plain net).  get_network ALWAYS
+    #    applies init_weights(model, 'kaiming') (unet.py:707); without
+    #    it this cell sits at torch's default init and trains visibly
+    #    slower (best Dice ~0.68 vs ~0.9), inflating the torch
+    #    "hebbian advantage" relative to the kaiming-initialized
+    #    hebbax random cell.
     torch.manual_seed(seed + 2)
     rnd = u.UNet_Transposed_Leaky(3, 2)
+    u.init_weights(rnd, init_type="kaiming")
     best_rnd = finetune(rnd, "finetune-from-random")
     return {"pretrain_probe_dice": round(probe, 4),
             "finetune_from_hebbian": round(best_pre, 4),
@@ -182,8 +188,13 @@ def hebbax_cycle(arrays, pre_epochs, ft_epochs, bs, lr, seed=0,
                 idx = b if lab_idx is None else lab_idx[b]
                 batch = {"image": jnp.asarray(xs[idx]),
                          "mask": jnp.asarray(ys[idx])}
-                state, _ = step(state, batch,
-                                jax.random.PRNGKey(epoch * 1000 + i))
+                # fold the RUN seed into the step key: with a
+                # seed-independent key the sweep replays the identical
+                # dropout-mask sequence in every run (torch redraws per
+                # manual_seed), which measurably biased the 5%-label
+                # cycle (see debug_hebb_matched.py / PARITY.md)
+                state, _ = step(state, batch, jax.random.fold_in(
+                    jax.random.PRNGKey(seed), epoch * 1000 + i))
             variables_e = state.variables
 
             def fwd(x):
