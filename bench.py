@@ -49,7 +49,8 @@ def bench_hebbax():
     masks = jnp.asarray(
         np.random.RandomState(1).randint(0, 2, (BATCH, SIZE, SIZE)),
         jnp.int32)
-    variables = model.init(rngs, images, train=False)
+    from hebbax.utils.timing import jitted_init
+    variables = jitted_init(model, rngs, images, train=False)
     tx = optax.sgd(0.5, momentum=0.9)
     state = TrainState(params=variables["params"],
                        batch_stats=variables.get("batch_stats"),
@@ -137,7 +138,8 @@ def bench_hebbax_pretrain():
     masks = jnp.asarray(
         np.random.RandomState(1).randint(0, 2, (BATCH, SIZE, SIZE)),
         jnp.int32)
-    variables = model.init(rngs, images, train=False)
+    from hebbax.utils.timing import jitted_init
+    variables = jitted_init(model, rngs, images, train=False)
     tx = optax.adam(1e-3)
     state = TrainState(params=variables["params"],
                        batch_stats=variables.get("batch_stats"),

@@ -147,7 +147,8 @@ def _build(net, dtype_name):
             "dropout": jax.random.PRNGKey(1)}
     img = jnp.asarray(np.random.RandomState(0).rand(1, *PATCH, 1),
                       jnp.float32)
-    variables = model.init(rngs, img, train=False)
+    from hebbax.utils.timing import jitted_init
+    variables = jitted_init(model, rngs, img, train=False)
     return model, img, variables
 
 

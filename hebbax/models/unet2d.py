@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.dropout import FastDropout
 from ..hebb.layers import HConv
 from ..hebb.spec import HebbSpec
 from .common import (batch_norm, max_pool, perturb_features,
@@ -49,7 +50,7 @@ class ConvBlockLeaky(nn.Module):
         x = HConv(self.features, name="conv1", **kw)(x, train)
         x = batch_norm(self, x, train, "bn1", BN_GAIN, self.dtype)
         x = nn.leaky_relu(x)
-        x = nn.Dropout(self.dropout_p, deterministic=not train)(x)
+        x = FastDropout(self.dropout_p, deterministic=not train)(x)
         x = HConv(self.features, name="conv2", **kw)(x, train)
         x = batch_norm(self, x, train, "bn2", BN_GAIN, self.dtype)
         return nn.leaky_relu(x)
@@ -160,9 +161,9 @@ class MLPHead(nn.Module):
             return HConv(self.n_cls, name="conv_out", **kw)(x, train)
         ch = x.shape[-1]
         x = HConv(ch * 4, name="conv1", **kw)(x, train)
-        x = nn.Dropout(0.5, deterministic=not train)(nn.relu(x))
+        x = FastDropout(0.5, deterministic=not train)(nn.relu(x))
         x = HConv(ch * 2, name="conv2", **kw)(x, train)
-        x = nn.Dropout(0.5, deterministic=not train)(nn.relu(x))
+        x = FastDropout(0.5, deterministic=not train)(nn.relu(x))
         return HConv(self.n_cls, name="conv_out", **kw)(x, train)
 
 

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.dropout import FastDropout
 from ..hebb.layers import FoldedHConv, HConv
 from ..hebb.spec import HebbSpec
 from ..ops import s2d
@@ -95,7 +96,7 @@ class FoldedConvBlockLeaky(nn.Module):
         x = FoldedBatchNorm(gain_init=BN_GAIN, dtype=self.dtype,
                             name="bn1")(x, train)
         x = nn.leaky_relu(x)
-        x = nn.Dropout(self.dropout_p, deterministic=not train)(x)
+        x = FastDropout(self.dropout_p, deterministic=not train)(x)
         x = FoldedHConv(self.features, 3, (self.features,), name="conv2",
                         **kw)(x, train)
         x = FoldedBatchNorm(gain_init=BN_GAIN, dtype=self.dtype,
@@ -150,10 +151,10 @@ class FoldedMLPHead(nn.Module):
             return s2d.unfold(y)
         x = FoldedHConv(ch * 4, in_groups=(ch,), name="conv1",
                         **kw)(x, train)
-        x = nn.Dropout(0.5, deterministic=not train)(nn.relu(x))
+        x = FastDropout(0.5, deterministic=not train)(nn.relu(x))
         x = FoldedHConv(ch * 2, in_groups=(ch * 4,), name="conv2",
                         **kw)(x, train)
-        x = nn.Dropout(0.5, deterministic=not train)(nn.relu(x))
+        x = FastDropout(0.5, deterministic=not train)(nn.relu(x))
         y = FoldedHConv(self.n_cls, in_groups=(ch * 2,), name="conv_out",
                         **kw)(x, train)
         return s2d.unfold(y)

@@ -56,3 +56,18 @@ def measure_step(step, state, *args, n1=10, n2=30, fetch=_fetch,
     t2 = time.perf_counter() - t0
 
     return max((t2 - t1) / (n2 - n1), 1e-9)
+
+
+def jitted_init(model, rngs, *args, **kwargs):
+    """``model.init`` under ``jax.jit``.
+
+    Through the axon tunnel every EAGER op pays a fresh remote compile
+    (~20-120 s each); a cold model variant's eager ``init`` walks
+    dozens of them (>25 min observed for unet3d_s2d).  One jitted
+    program compiles once.  kwargs must be hashable statics
+    (e.g. ``train=False``)."""
+    import functools
+
+    import jax
+
+    return jax.jit(functools.partial(model.init, **kwargs))(rngs, *args)

@@ -81,9 +81,12 @@ def main():
     from hebbax.models import get_network
     from hebbax.ops.losses import segmentation_loss
 
-    # disable flax dropout
+    # disable flax dropout (both the stock module and FastDropout)
+    from hebbax.ops.dropout import FastDropout
     orig_drop = fnn.Dropout.__call__
+    orig_fast = FastDropout.__call__
     fnn.Dropout.__call__ = lambda self, x, **kw: x
+    FastDropout.__call__ = lambda self, x, **kw: x
 
     spec0 = HebbSpec(mode="swta_t", k=50.0, w_nrm=True, alpha=0.0,
                      exclude=tuple(EXCLUDE))
@@ -142,6 +145,7 @@ def main():
     print(f"# torch  trace {tr_t}")
     print(f"# hebbax trace {tr_hx}")
     fnn.Dropout.__call__ = orig_drop
+    FastDropout.__call__ = orig_fast
 
 
 if __name__ == "__main__":

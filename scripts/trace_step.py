@@ -27,6 +27,7 @@ from hebbax.hebb.spec import HebbSpec
 from hebbax.hebb.surgery import pretrain_trainable_mask
 from hebbax.models import get_network
 from hebbax.ops.losses import segmentation_loss
+from hebbax.utils.timing import jitted_init
 
 NET = os.environ.get("TRACE_NET", "unet_s2d")
 MODE = os.environ.get("TRACE_MODE", "sup")
@@ -47,7 +48,7 @@ def main():
     masks = jnp.asarray(rs.randint(0, 2, (BATCH, SIZE, SIZE)), jnp.int32)
     rngs = {"params": jax.random.PRNGKey(0),
             "dropout": jax.random.PRNGKey(1)}
-    variables = model.init(rngs, images, train=False)
+    variables = jitted_init(model, rngs, images, train=False)
     criterion = segmentation_loss("dice", False, num_classes=2)
     tx = optax.sgd(0.5, momentum=0.9) if MODE == "sup" else optax.adam(1e-3)
     kw = {}

@@ -13,6 +13,7 @@ import pytest
 from flax import linen as nn
 
 from hebbax.hebb.spec import HebbSpec
+from hebbax.ops.dropout import FastDropout
 from hebbax.models import get_network
 from hebbax.ops import s2d
 
@@ -102,6 +103,8 @@ def test_unet_s2d_train_deltas_and_stats(monkeypatch):
     Hebbian delta, and every BN batch stat must match."""
     monkeypatch.setattr(nn.Dropout, "__call__",
                         lambda self, x, **kw: x)
+    monkeypatch.setattr(FastDropout, "__call__",
+                        lambda self, x, **kw: x)
     spec = HebbSpec(mode="swta_t", k=50.0, w_nrm=True, alpha=1.0,
                     exclude=("out_conv",))
     m, mf = _both_models(hebb=spec)
@@ -137,6 +140,8 @@ def test_unet_s2d_train_deltas_and_stats(monkeypatch):
 
 def test_unet_s2d_hpca_deltas(monkeypatch):
     monkeypatch.setattr(nn.Dropout, "__call__",
+                        lambda self, x, **kw: x)
+    monkeypatch.setattr(FastDropout, "__call__",
                         lambda self, x, **kw: x)
     spec = HebbSpec(mode="hpca", k=50.0, w_nrm=True, alpha=1.0,
                     exclude=("out_conv",))
@@ -215,6 +220,8 @@ def test_unet_urpc_s2d_hebbian_deltas(monkeypatch):
     """swta_t pretraining deltas on the URPC backbone match (the URPC
     pretrain path excludes the four heads)."""
     monkeypatch.setattr(nn.Dropout, "__call__",
+                        lambda self, x, **kw: x)
+    monkeypatch.setattr(FastDropout, "__call__",
                         lambda self, x, **kw: x)
     spec = HebbSpec(mode="swta_t", k=50.0, w_nrm=True, alpha=1.0,
                     exclude=("out_conv", "out_conv_dp1", "out_conv_dp2",
