@@ -134,7 +134,7 @@ def main():
         hk = np.linalg.norm(np.asarray(
             variables_e["params"]["encoder"]["in_conv"]["conv1"]
             ["kernel"]))
-        tk = float(tmodel.encoder.in_conv.conv1.weight.norm())
+        tk = float(tmodel.encoder.in_conv.conv_conv[0].weight.norm())
         print(f"epoch {epoch:2d}  loss hx {h_loss:7.4f} tch {t_loss:7.4f}"
               f"  probeDice hx {h_dice:.4f} tch {t_dice:.4f}"
               f"  |in_conv.conv1| hx {hk:.4f} tch {tk:.4f}", flush=True)

@@ -162,9 +162,13 @@ def bench_shape(size, ci, co, k_temp=50.0):
 
 
 def main():
-    print("# exactness check (f32, small shapes)")
-    check_equal()
-    for size, ci, co in ((128, 16, 16), (64, 32, 32)):
+    if not os.environ.get("WGRAD_SKIP_CHECK"):
+        print("# exactness check (f32, small shapes)")
+        check_equal()
+    shapes = os.environ.get(
+        "WGRAD_SHAPES", "128:16:16,64:32:32")
+    for spec in shapes.split(","):
+        size, ci, co = (int(t) for t in spec.split(":"))
         bench_shape(size, ci, co)
 
 
