@@ -130,7 +130,8 @@ def bench_hebbax_pretrain():
 
     spec = HebbSpec(mode="swta_t", k=50.0, w_nrm=True, alpha=1.0,
                     exclude=("out_conv",))
-    model = get_network("unet", 3, 2, hebb=spec)
+    dtype = jnp.bfloat16 if DTYPE in ("bfloat16", "bf16") else None
+    model = get_network("unet", 3, 2, hebb=spec, dtype=dtype)
     rngs = {"params": jax.random.PRNGKey(0),
             "dropout": jax.random.PRNGKey(1)}
     images = jnp.asarray(

@@ -49,17 +49,43 @@ def _specs(nd):
     return "N" + sp + "C", sp + "IO", "N" + sp + "C"
 
 
-def conv_fwd(x, w, strides, padding=None):
-    """Cross-correlation, channels-last.  padding=None means VALID on a
-    pre-padded x (the torch-parity test convention); otherwise a
-    per-spatial-dim ((lo, hi), ...) config applied NATIVELY by XLA — no
-    materialized padded copy (the jnp.pad+VALID pattern costs a full
-    activation relayout per conv on TPU)."""
+def _conv_fwd_raw(x, w, strides, padding=None):
     nd = x.ndim - 2
     return lax.conv_general_dilated(
         x, w, window_strides=strides,
         padding="VALID" if padding is None else list(padding),
         dimension_numbers=_specs(nd))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv_fwd(x, w, strides, padding=None):
+    """Cross-correlation, channels-last.  padding=None means VALID on a
+    pre-padded x (the torch-parity test convention); otherwise a
+    per-spatial-dim ((lo, hi), ...) config applied NATIVELY by XLA — no
+    materialized padded copy (the jnp.pad+VALID pattern costs a full
+    activation relayout per conv on TPU).
+
+    custom_vjp: the data gradient is XLA's usual transposed conv, but
+    the WEIGHT gradient routes through :func:`wgrad_fwd`, which picks
+    the shifted-slices matmul formulation for small-channel sites
+    (measured 1.4-1.7x on the C<=16 128^2 sites) — this covers every
+    backprop dW in the model zoo, not just the Hebbian deltas."""
+    return _conv_fwd_raw(x, w, strides, padding)
+
+
+def _conv_fwd_vjp_fwd(x, w, strides, padding=None):
+    return _conv_fwd_raw(x, w, strides, padding), (x, w)
+
+
+def _conv_fwd_vjp_bwd(strides, padding, res, g):
+    x, w = res
+    _, vjp_x = jax.vjp(
+        lambda x_: _conv_fwd_raw(x_, w, strides, padding), x)
+    dw = wgrad_fwd(x, w.shape, g, strides, padding)
+    return vjp_x(g)[0], dw
+
+
+conv_fwd.defvjp(_conv_fwd_vjp_fwd, _conv_fwd_vjp_bwd)
 
 
 def conv_transpose_fwd(x, w, strides):
@@ -110,6 +136,59 @@ def _wgrad(fwd, x, w_shape, cotangent, strides, padding=None):
     return vjp(cotangent)[0]
 
 
+def _shifts_profitable(w_shape, strides, padding):
+    """Whether to compute this site's weight gradient as per-tap
+    shifted-slices matmuls instead of XLA's wgrad conv.
+
+    MEASURED NEGATIVE — off by default.  Isolated (one delta per scan
+    step, scripts/microbench_wgrad.py, f32 bs=32) the shifts form wins
+    at small channels: 16->16 @128^2 1.51 -> 0.88 ms, 32->2 @128^2
+    1.91 -> 1.10 ms (crossover min(Ci,Co) <= 16).  END-TO-END it LOSES:
+    with min<=16 sites routed to shifts, the sup fast-path step went
+    14.3 -> 19.3 ms and the swta_t pretrain step 16.3 -> 21.4 ms — in
+    the full program the wgrad convs overlap other work, while the
+    shifts form adds a materialized jnp.pad copy and 9 strided re-reads
+    of x that contend for the same HBM.  Opt in per-process with
+    HEBBAX_WGRAD=shifts (2D stride-1 symmetric-padding sites only)."""
+    if os.environ.get("HEBBAX_WGRAD") != "shifts":
+        return False
+    nd = len(w_shape) - 2
+    return (nd == 2 and tuple(strides) == (1, 1)
+            and (padding is None
+                 or all(lo == hi for lo, hi in padding)))
+
+
+def _wgrad_conv_shifts(x, w_shape, cotangent, padding):
+    """Stride-1 2D weight gradient as prod(k) per-tap (Ci, Co) matmuls
+    over N*H*W — exact same unfold correlation as the wgrad conv, but
+    the MXU contracts the long pixel axis instead of lane-padding the
+    small channel axes."""
+    kh, kw, ci, co = w_shape
+    if padding is not None:
+        ph, pw = padding[0][0], padding[1][0]
+        x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    h, w = cotangent.shape[1], cotangent.shape[2]
+    rows = []
+    for u in range(kh):
+        row = []
+        for v in range(kw):
+            xs = jax.lax.slice(
+                x, (0, u, v, 0),
+                (x.shape[0], u + h, v + w, x.shape[3]))
+            row.append(jnp.einsum("nhwi,nhwo->io", xs, cotangent))
+        rows.append(jnp.stack(row))
+    return jnp.stack(rows)
+
+
+def wgrad_fwd(x, w_shape, cotangent, strides, padding=None):
+    """Forward-conv weight gradient with the TPU-measured formulation
+    choice (see _shifts_profitable).  Falls back to the RAW conv wgrad
+    (not conv_fwd — whose custom_vjp routes back here)."""
+    if _shifts_profitable(w_shape, strides, padding):
+        return _wgrad_conv_shifts(x, w_shape, cotangent, padding)
+    return _wgrad(_conv_fwd_raw, x, w_shape, cotangent, strides, padding)
+
+
 def normalize(x, axis):
     """L2-normalize with zero-norm guard (reference hebb.py:10-13)."""
     nrm = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
@@ -139,7 +218,7 @@ def swta_conv_delta(w, x, y, k, strides, padding=None):
     x = lax.stop_gradient(x)
     y = lax.stop_gradient(y)
     r = jax.nn.softmax(k * y, axis=-1)
-    pos = _wgrad(conv_fwd, x, w.shape, r, strides, padding)
+    pos = wgrad_fwd(x, w.shape, r, strides, padding)
     r_sum = jnp.sum(r, axis=tuple(range(r.ndim - 1)))  # (O,)
     return pos - r_sum * w
 
@@ -166,7 +245,7 @@ def hpca_conv_delta(w, x, y, strides, chunk=None, padding=None):
     """Sanger's rule: dw = <y, x_patches> - tril(y y^T) @ w."""
     x = lax.stop_gradient(x)
     y = lax.stop_gradient(y)
-    pos = _wgrad(conv_fwd, x, w.shape, y, strides, padding)
+    pos = wgrad_fwd(x, w.shape, y, strides, padding)
     yf = y.reshape(-1, y.shape[-1])
     m = yf.T @ yf                                     # (O, O)
     dec = jnp.einsum("ab,...b->...a",

@@ -276,3 +276,40 @@ def test_normalize_guard():
     x = np.zeros((2, 4), np.float32)
     out = np.asarray(rules.normalize(jnp.asarray(x), axis=1))
     assert np.all(np.isfinite(out))
+
+
+class TestConvFwdCustomVjp:
+    """conv_fwd's custom_vjp (shifted-slices dW routing) must be
+    gradient-exact vs XLA's native conv autodiff, every branch."""
+
+    @pytest.mark.parametrize("ci,co,pad,strides,nd,force", [
+        (3, 16, ((1, 1), (1, 1)), (1, 1), 2, "shifts"),
+        (16, 16, None, (1, 1), 2, "shifts"),     # pre-padded x
+        (16, 16, ((1, 1), (1, 1)), (1, 1), 2, None),  # default: conv
+        (32, 64, ((1, 1), (1, 1)), (1, 1), 2, "shifts"),
+        (8, 8, ((1, 1), (1, 1)), (2, 2), 2, "shifts"),  # strided->conv
+        (4, 8, ((1, 1),) * 3, (1, 1, 1), 3, "shifts"),  # 3D -> conv
+    ])
+    def test_grads_match_native(self, ci, co, pad, strides, nd, force,
+                                monkeypatch):
+        if force:
+            monkeypatch.setenv("HEBBAX_WGRAD", force)
+        rs = np.random.RandomState(0)
+        sp = (10,) * nd
+        x = jnp.asarray(rs.rand(2, *sp, ci), jnp.float32)
+        w = jnp.asarray(rs.rand(*(3,) * nd, ci, co) * 0.1, jnp.float32)
+
+        def loss_custom(x_, w_):
+            return jnp.sum(jnp.tanh(
+                rules.conv_fwd(x_, w_, strides, pad)))
+
+        def loss_native(x_, w_):
+            return jnp.sum(jnp.tanh(
+                rules._conv_fwd_raw(x_, w_, strides, pad)))
+
+        gx, gw = jax.grad(loss_custom, argnums=(0, 1))(x, w)
+        rx, rw = jax.grad(loss_native, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                                   rtol=2e-5, atol=2e-4)
