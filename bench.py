@@ -224,91 +224,78 @@ CONTROL_CACHE = os.environ.get(
 
 
 class _Controls:
-    """torch-CPU reference controls, measured SEQUENTIALLY on one
-    background thread so they overlap the TPU sections' multi-minute
-    tunnel compiles (they share no device with the TPU work).
+    """torch-CPU reference controls.
 
-    This host has ONE core, so the thread runs at nice 19 — it consumes
-    only the cycles the TPU side leaves idle while blocked on the axon
-    tunnel (compile RPCs, fetches); measured control steps are
-    CPU-bound C loops whose own timing is unaffected when the main
-    thread is blocked.  Freshly measured values are persisted to
-    .bench_controls.json; if a control hasn't finished when its metric
-    needs it, the cached value from a previous run on this same host is
-    used and labeled."""
+    Round-3 lesson: overlapping the controls on an in-process thread
+    corrupts the TPU timing — the torch step loop holds the GIL, so the
+    fetch-forced dispatch loop starves (headline measured 1395 vs 2259
+    img/s while a control was mid-measure).  Controls therefore run
+    SERIALLY and UPFRONT (measure_missing), before any TPU section, and
+    every fresh value is persisted to .bench_controls.json (committed —
+    the driver's runs then skip straight to the TPU sections and label
+    the control values '(cached control)')."""
+
+    NAMES_2D = ("sup2d", "pre2d")
+    NAMES_3D = ("train3d", "infer3d")
 
     def __init__(self, skip):
-        import threading
         self._skip = skip
-        self._results, self._done = {}, {}
+        self._fresh = set()
         try:
             with open(CONTROL_CACHE) as f:
                 self._cache = json.load(f)
         except Exception:
             self._cache = {}
-        if skip:
+        env3d = os.environ.get("BENCH3D_TRAIN_CONTROL")
+        if env3d:
+            self._cache["train3d"] = float(env3d)
+
+    def measure_missing(self, remaining, reserve=900.0):
+        """Serially measure any control without a cached value, oldest
+        bench order first, while `remaining() - reserve` allows (the
+        reserve keeps budget for the TPU sections).  ~6 min total on
+        this host when the cache is empty; a no-op when it is full."""
+        if self._skip:
             return
         import bench_3d
-        # measurement order: cheapest / soonest-needed first (the
-        # headline waits on 'sup2d')
         jobs = [("sup2d", bench_torch_reference),
                 ("pre2d", bench_torch_pretrain_reference)]
         if not os.environ.get("BENCH_SKIP_3D"):
-            env3d = os.environ.get("BENCH3D_TRAIN_CONTROL")
-            if env3d:  # cached value: skip the ~2 min re-measure
-                self._results["train3d"] = float(env3d)
-                self._done["train3d"] = threading.Event()
-                self._done["train3d"].set()
-            else:
-                jobs.append(("train3d",
-                             bench_3d.torch_control_train_steps_per_sec))
-            jobs.append(("infer3d",
-                         bench_3d.torch_control_volumes_per_sec))
-        for name, _ in jobs:
-            self._done[name] = threading.Event()
-
-        def work():
-            try:  # idle-priority: don't starve XLA tracing/lowering
-                os.setpriority(os.PRIO_PROCESS, threading.get_native_id(),
-                               19)
-            except Exception:
-                pass
-            for name, fn in jobs:
+            jobs += [("train3d",
+                      bench_3d.torch_control_train_steps_per_sec),
+                     ("infer3d", bench_3d.torch_control_volumes_per_sec)]
+        for name, fn in jobs:
+            if self._cache.get(name):
+                continue
+            if remaining() - reserve < 60:
+                print(f"# budget: skipping control {name} measure",
+                      flush=True)
+                continue
+            try:
+                v = fn()
+            except Exception as e:
+                print(f"# control {name} failed: {e!r}", flush=True)
+                v = None
+            if v:
+                self._cache[name] = v
+                self._fresh.add(name)
                 try:
-                    self._results[name] = fn()
-                except Exception as e:
-                    print(f"# control {name} failed: {e!r}", flush=True)
-                    self._results[name] = None
-                self._done[name].set()
-                if self._results[name]:
-                    self._cache[name] = self._results[name]
-                    try:
-                        with open(CONTROL_CACHE, "w") as f:
-                            json.dump(self._cache, f, indent=1)
-                    except Exception:
-                        pass
+                    with open(CONTROL_CACHE, "w") as f:
+                        json.dump(self._cache, f, indent=1)
+                except Exception:
+                    pass
 
-        # daemon: a control still mid-measure at process exit must not
-        # block the driver's budget
-        threading.Thread(target=work, daemon=True).start()
-
-    def get(self, name, timeout):
-        """-> (value, ' (cached control)' | '') — cached fallback when
-        the measure hasn't finished within timeout."""
+    def get(self, name, timeout=None):
+        """-> (value, ' (cached control)' | '')."""
         if self._skip:
             return None, ""
-        ev = self._done.get(name)
-        if ev is not None and ev.wait(max(timeout, 1.0)):
-            v = self._results.get(name)
-            if v:
-                return v, ""
-        cached = self._cache.get(name)
-        if cached:
-            print(f"# control {name}: using cached value {cached:.4g}",
-                  flush=True)
-            return cached, " (cached control)"
-        print(f"# control {name} unavailable", flush=True)
-        return None, ""
+        v = self._cache.get(name)
+        if not v:
+            print(f"# control {name} unavailable", flush=True)
+            return None, ""
+        if name in self._fresh:
+            return v, ""
+        return v, " (cached control)"
 
 
 def main():
@@ -323,6 +310,8 @@ def main():
               f"({remaining():.0f}s left < {need}s needed)", flush=True)
 
     controls = _Controls(skip=bool(os.environ.get("BENCH_SKIP_CONTROL")))
+    # serial + upfront: see _Controls docstring (GIL contention lesson)
+    controls.measure_missing(remaining)
 
     # HEADLINE metric (computed FIRST so a driver-side timeout still
     # captures it; REPRINTED last — the driver parses the final JSON

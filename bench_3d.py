@@ -164,7 +164,12 @@ def run_train_metric(ctrl=None, net=None, dtype_name=None, ctrl_tag=""):
     from hebbax.ops.losses import segmentation_loss
     from hebbax.utils.timing import measure_step
 
-    net = net or os.environ.get("BENCH3D_NET", "unet3d")
+    # default: the space-to-depth folded fast path (exact param/output
+    # parity with unet3d, checkpoints interchangeable — tests/
+    # test_unet3d_s2d.py); measured 75.7 ms vs 104 ms bf16
+    net = net or os.environ.get("BENCH3D_TRAIN_NET",
+                                os.environ.get("BENCH3D_NET",
+                                               "unet3d_s2d"))
     dtype_name = dtype_name or os.environ.get("BENCH3D_DTYPE", "bfloat16")
     model, img, variables = _build(net, dtype_name)
     msk = jnp.asarray(np.random.RandomState(1).randint(

@@ -23,6 +23,12 @@ def max_pool(x, window: int = 2, stride: Optional[int] = None):
     (torch nn.MaxPool2d/3d(kernel_size=2) parity)."""
     nd = x.ndim - 2
     stride = stride or window
+    if min(x.shape[1:-1]) < window:
+        raise ValueError(
+            f"max_pool window {window} collapses a spatial dim of "
+            f"{x.shape} to zero — the input/patch is too small for this "
+            f"network's pooling depth (4-level UNets need >= 16 px/vox "
+            f"per axis).  The torch reference errors on such sizes too.")
     dims = (1,) + (window,) * nd + (1,)
     strides = (1,) + (stride,) * nd + (1,)
     return lax.reduce_window(x, -jnp.inf, lax.max, dims, strides, "VALID")

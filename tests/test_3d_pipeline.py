@@ -23,11 +23,11 @@ def tiny_volumes(tmp_path_factory):
         os.makedirs(root / split / "mask")
         os.makedirs(root / split / "mask_sdf1")
         for i in range(n):
-            shape = (24 + 4 * i, 20, 12)
+            shape = (24 + 4 * i, 20, 16)
             vol = rng.normal(100, 20, shape).astype(np.float32)
             xx, yy, zz = np.mgrid[: shape[0], : shape[1], : shape[2]]
             mask = (((xx - shape[0] / 2) ** 2 + (yy - 10) ** 2
-                     + (zz - 6) ** 2) < 36).astype(np.uint8) * 255
+                     + (zz - 8) ** 2) < 36).astype(np.uint8) * 255
             vol[mask > 0] += 60
             affine = np.diag([0.625, 0.625, 1.25, 1.0])
             write_nrrd(root / split / "image" / f"v{i}.nrrd", vol,
@@ -138,7 +138,7 @@ def test_train_sup_3d_end_to_end(tiny_volumes, tmp_path):
         "--network", "unet3d_min", "--regime", "100",
         "--batch_size", "2", "--num_epochs", "2", "--validate_iter", "1",
         "--optimizer", "adam", "--lr", "1e-3",
-        "--patch_size", "(16,16,8)",
+        "--patch_size", "(16,16,16)",
         "--samples_per_volume_train", "2", "--samples_per_volume_val", "2",
     ])
     trainer = build(args)
@@ -157,7 +157,7 @@ def test_semi_dtc_3d_end_to_end(tiny_volumes, tmp_path):
         "--path_root_exp", str(tmp_path / "runs"),
         "--regime", "50", "--batch_size", "2", "--num_epochs", "1",
         "--validate_iter", "1", "--optimizer", "adam", "--lr", "1e-3",
-        "--patch_size", "(16,16,8)", "--network", "unet3d_dtc",
+        "--patch_size", "(16,16,16)", "--network", "unet3d_dtc",
         "--samples_per_volume_train", "2", "--samples_per_volume_val", "2",
     ])
     trainer = build(args, "dtc")
@@ -176,7 +176,7 @@ def test_test_3d_cli(tiny_volumes, tmp_path):
         "--network", "unet3d_min", "--regime", "100",
         "--batch_size", "2", "--num_epochs", "1", "--validate_iter", "1",
         "--optimizer", "adam", "--lr", "1e-3",
-        "--patch_size", "(16,16,8)",
+        "--patch_size", "(16,16,16)",
         "--samples_per_volume_train", "2", "--samples_per_volume_val", "2",
     ])
     trainer = build(args)
@@ -185,7 +185,7 @@ def test_test_3d_cli(tiny_volumes, tmp_path):
         "--path_exp", trainer.paths.run,
         "--path_dataset", tiny_volumes, "--dataset_name", "Atrial",
         "--network", "unet3d_min",
-        "--patch_size", "(16,16,8)", "--patch_overlap", "(8,8,4)",
+        "--patch_size", "(16,16,16)", "--patch_overlap", "(8,8,8)",
         "--batch_size", "2", "--postprocessing", "1",
     ])
     results = run_test(targs)

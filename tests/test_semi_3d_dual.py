@@ -17,9 +17,9 @@ def tiny_volumes(tmp_path_factory):
         os.makedirs(root / split / "image")
         os.makedirs(root / split / "mask")
         for i in range(n):
-            shape = (20, 20, 12)
+            shape = (20, 20, 16)
             vol = rng.normal(100, 20, shape).astype(np.float32)
-            xx, yy, zz = np.mgrid[:20, :20, :12]
+            xx, yy, zz = np.mgrid[:20, :20, :16]
             mask = (((xx - 10) ** 2 + (yy - 10) ** 2 + (zz - 6) ** 2)
                     < 25).astype(np.uint8) * 255
             vol[mask > 0] += 60
@@ -41,7 +41,7 @@ def test_dual_semi_3d(algo, tiny_volumes, tmp_path):
         # student exactly, utils.py:559), so divergence shows at epoch 1
         "--regime", "50", "--batch_size", "2", "--num_epochs", "2",
         "--validate_iter", "1", "--optimizer", "adam", "--lr", "1e-3",
-        "--patch_size", "(16,16,8)",
+        "--patch_size", "(16,16,16)",
         "--samples_per_volume_train", "2", "--samples_per_volume_val", "2",
     ])
     trainer = build(args, algo)
