@@ -6,11 +6,11 @@ compares in f32 — measured ~1.25 ms per 33.5M-element site on the v5e
 multiplies ~77M dropout sites, so masks cost ~3 ms of a ~16 ms step.
 
 :class:`FastDropout` keeps the exact Bernoulli semantics but spends
-1 bit of randomness per element when ``rate == 0.5`` (every threefry
-bit is an i.i.d. fair coin — 32 elements per word) and 16 bits
-otherwise (keep-probability quantized to 1/65536, exact for any rate
-that is a multiple of 2^-16 and ≤ 0.0008% relative error for the model
-zoo's 0.05/0.1/0.2/0.3 rates).  The mask STREAM therefore differs from
+8 bits of randomness per element when ``rate == 0.5`` (P(uint8 < 128)
+is exactly 1/2; a 1-bit unpack was traced slower — see the inline
+note) and 16 bits otherwise (keep-probability quantized to 1/65536,
+exact for any rate that is a multiple of 2^-16 and ≤ 0.0008% relative
+error for the model zoo's 0.05/0.1/0.2/0.3 rates).  The mask STREAM therefore differs from
 ``nn.Dropout`` for the same key — dropout-mask parity was never part of
 the reference contract (torch draws its own stream) — while the
 per-element marginal stays Bernoulli(rate), independent across
@@ -48,14 +48,14 @@ class FastDropout(nn.Module):
             return nn.Dropout(self.rate, deterministic=False,
                               name="slow")(x)
         key = self.make_rng("dropout")
-        n = x.size
         if self.rate == 0.5:
-            nw = -(-n // 32)
-            words = jax.random.bits(key, (nw,), jnp.uint32)
-            bits = (words[:, None]
-                    >> jnp.arange(32, dtype=jnp.uint32)) & jnp.uint32(1)
-            keep = (bits != 0).reshape(-1)[:n].reshape(x.shape)
-            return jnp.where(keep, x + x, jnp.zeros_like(x))
+            # 8 random bits/element: P(r < 128) is exactly 1/2.  (A
+            # 1-bit unpack from uint32 words was traced SLOWER — the
+            # broadcast shift materializes 32x-amplified uint32
+            # traffic, ~1.0 ms per 33.5M-site mask vs ~0.3 ms here.)
+            r = jax.random.bits(key, x.shape, jnp.uint8)
+            return jnp.where(r < jnp.uint8(128), x + x,
+                             jnp.zeros_like(x))
         thresh = round((1.0 - self.rate) * 65536)
         if thresh >= 65536:            # rate < 2^-17 rounds to keep-all
             return x
