@@ -22,6 +22,7 @@ from .unet2d import (UNet2D, UNetCCT2D, UNetSuperpix2D, UNetURPC2D,
                      UNetVAE2D)
 from .unet2d_s2d import UNet2DS2D, UNetCCT2DS2D, UNetURPC2DS2D
 from .unet3d_s2d import UNet3DS2D
+from .vnet_s2d import VNetCCTS2D, VNetDTCS2D, VNetS2D
 from .unet3d import UNet3D, UNet3DCCT, UNet3DDTC, UNet3DSuperpix, UNet3DVAE
 from .urpc3d import UNet3DURPC
 from .vnet import VNet, VNetCCT, VNetDTC
@@ -72,6 +73,11 @@ _REGISTRY = {
     "unet3d_vae": (UNet3DVAE, dict(nd=3, outputs="vae",
                                    rngs=("latent",))),
     "vnet": (VNet, dict(nd=3, outputs="single")),
+    # "vnet", full-res level space-to-depth folded (models/vnet_s2d.py)
+    "vnet_s2d": (VNetS2D, dict(nd=3, outputs="single")),
+    "vnet_cct_s2d": (VNetCCTS2D, dict(nd=3, outputs="deep4",
+                                      rngs=("perturb",))),
+    "vnet_dtc_s2d": (VNetDTCS2D, dict(nd=3, outputs="dtc")),
     "vnet_dtc": (VNetDTC, dict(nd=3, outputs="dtc")),
     "vnet_cct": (VNetCCT, dict(nd=3, outputs="deep4", rngs=("perturb",))),
 }

@@ -1,0 +1,322 @@
+"""Space-to-depth folded V-Net — TPU fast path for the vnet family.
+
+Same math, parameter tree, and checkpoints as :class:`~hebbax.models.
+vnet.VNet` (reference contract: models/networks_3d/vnet.py:44-195);
+only the COMPUTE LAYOUT of the full-resolution level differs.  VNet's
+top level runs 5^3 convs at C=16/32 over 96x96x80 — 8x/4x padding of
+the 128-lane MXU; measured on the v5e (scripts/microbench_vnet.py,
+bf16): in_tr conv 7.14 -> 0.35 ms, out_tr conv1 18.3 -> 1.13 ms,
+up_tr32 LUConv 8.22 -> 2.28 ms, down_conv 0.60 -> 0.05 ms with a full
+(2,2,2) fold (trimmed folded 5^3 kernel: 3^3 taps, 1.73x FLOPs —
+ops/s2d3d.folded_k).
+
+Folded here: in_tr, down_tr32's down_conv (consumes the folded level-0
+tensor, emits unfolded half-res — s2d3d.fold_down_kernel3), up_tr32
+(transpose emits the folded layout for free), out_tr.  Everything from
+half resolution down is the plain VNet modules.  Exact f32 equivalence
+is asserted in tests/test_vnet_s2d.py.  Select with
+``--network vnet_s2d`` — checkpoints interchangeable with ``vnet``.
+"""
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..hebb.layers import (FoldedDownHConv3, FoldedHConv3,
+                           FoldedHConvTranspose3)
+from ..hebb.spec import HebbSpec
+from ..ops import s2d3d
+from .unet3d_s2d import FoldedBatchNorm3
+from .vnet import DownTransition, OutputTransition, UpTransition
+
+FOLD = (2, 2, 2)
+PF = 8
+
+
+class FoldedLUConvStack(nn.Module):
+    """LUConvStack (vnet.py:44-61) on folded tensors; same param tree
+    (conv{i}/bn{i})."""
+
+    features: int
+    n: int
+    in_groups: Sequence[int]
+    hebb: Optional[HebbSpec] = None
+    init_type: str = "kaiming"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(fold=FOLD, hebb=self.hebb, init_type=self.init_type,
+                  dtype=self.dtype)
+        groups = tuple(self.in_groups)
+        for i in range(self.n):
+            x = FoldedHConv3(self.features, 5, groups,
+                             name=f"conv{i + 1}", **kw)(x, train)
+            x = FoldedBatchNorm3(PF, dtype=self.dtype,
+                                 name=f"bn{i + 1}")(x, train)
+            x = nn.elu(x)
+            groups = (self.features,)
+        return x
+
+
+class FoldedInputTransition(nn.Module):
+    """InputTransition (vnet.py:64-82) on the folded layout.  Takes the
+    UNFOLDED input, returns the FOLDED 16-channel tensor."""
+
+    hebb: Optional[HebbSpec] = None
+    init_type: str = "kaiming"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        xf = s2d3d.fold3(x, FOLD)
+        out = FoldedHConv3(16, 5, (in_ch,), fold=FOLD, hebb=self.hebb,
+                           init_type=self.init_type, dtype=self.dtype,
+                           name="conv1")(xf, train)
+        out = FoldedBatchNorm3(PF, dtype=self.dtype, name="bn1")(
+            out, train)
+        # input broadcast to 16 channels, in folded standard order:
+        # tile each subpixel block's channels (vnet.py:76-80)
+        x16 = jnp.tile(
+            xf.reshape(xf.shape[:-1] + (PF, in_ch)),
+            (1, 1, 1, 1, 1, 16 // in_ch)).reshape(
+                xf.shape[:-1] + (PF * 16,))
+        return nn.elu(out + x16)
+
+
+class DownTransitionFromFolded(nn.Module):
+    """DownTransition (vnet.py:85-104) whose down_conv CONSUMES the
+    folded level-0 tensor (dense matmul); the rest of the block is the
+    plain half-resolution VNet code.  Same param tree."""
+
+    out_features: int
+    n_convs: int
+    hebb: Optional[HebbSpec] = None
+    init_type: str = "kaiming"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, xf, train: bool = False):
+        from .vnet import LUConvStack, _bn
+
+        kw = dict(hebb=self.hebb, init_type=self.init_type,
+                  dtype=self.dtype)
+        down = FoldedDownHConv3(self.out_features, fold=FOLD,
+                                name="down_conv", **kw)(xf, train)
+        down = nn.elu(_bn(self, down, train, "bn1", self.dtype))
+        out = LUConvStack(self.out_features, self.n_convs, name="ops",
+                          **kw)(down, train)
+        return nn.elu(out + down)
+
+
+class UpTransitionFolded(nn.Module):
+    """UpTransition (vnet.py:107-128) at the full-resolution level: the
+    k2/s2 transpose conv emits the FOLDED layout for free, the skip
+    arrives FOLDED, and the LUConv stack runs folded.  Same param
+    tree."""
+
+    out_features: int
+    n_convs: int
+    hebb: Optional[HebbSpec] = None
+    init_type: str = "kaiming"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, skip_f, train: bool = False):
+        kw = dict(hebb=self.hebb, init_type=self.init_type,
+                  dtype=self.dtype)
+        half = self.out_features // 2
+        # channel dropout (vnet.py:96-97, nn.Dropout broadcast_dims=
+        # (1,2,3)): per (N, ORIGINAL channel), shared across the
+        # subpixel blocks — apply on the (..., PF, C) view
+        c = skip_f.shape[-1] // PF
+        sk = skip_f.reshape(skip_f.shape[:-1] + (PF, c))
+        sk = nn.Dropout(0.5, broadcast_dims=(1, 2, 3, 4),
+                        deterministic=not train)(sk)
+        skip_f = sk.reshape(skip_f.shape[:-1] + (PF * c,))
+        up = FoldedHConvTranspose3(half, fold=FOLD, name="up_conv",
+                                   **kw)(x, train)
+        up = nn.elu(FoldedBatchNorm3(PF, dtype=self.dtype,
+                                     name="bn1")(up, train))
+        xcat = s2d3d.regroup3(jnp.concatenate([up, skip_f], axis=-1),
+                              (half, skip_f.shape[-1] // PF), FOLD)
+        out = FoldedLUConvStack(self.out_features, self.n_convs,
+                                (self.out_features,), name="ops",
+                                **kw)(xcat, train)
+        return nn.elu(out + xcat)
+
+
+class OutputTransitionFolded(nn.Module):
+    """OutputTransition (vnet.py:131-146) on folded tensors; returns
+    UNFOLDED logits."""
+
+    n_cls: int
+    hebb: Optional[HebbSpec] = None
+    init_type: str = "kaiming"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, xf, train: bool = False):
+        kw = dict(fold=FOLD, hebb=self.hebb, init_type=self.init_type,
+                  dtype=self.dtype)
+        out = FoldedHConv3(self.n_cls, 5, (xf.shape[-1] // PF,),
+                           name="conv1", **kw)(xf, train)
+        out = nn.elu(FoldedBatchNorm3(PF, dtype=self.dtype,
+                                      name="bn1")(out, train))
+        out = FoldedHConv3(self.n_cls, 1, (self.n_cls,),
+                           name="conv2", **kw)(out, train)
+        return s2d3d.unfold3(out, FOLD)
+
+
+class VNetS2D(nn.Module):
+    """VNet with the full-resolution level space-to-depth folded (see
+    module doc).  Identical parameter tree / checkpoints to ``vnet``."""
+
+    in_channels: int
+    n_cls: int
+    hebb: Optional[HebbSpec] = None
+    init_type: str = "kaiming"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(hebb=self.hebb, init_type=self.init_type,
+                  dtype=self.dtype)
+        out16f = FoldedInputTransition(name="in_tr", **kw)(x, train)
+        out32 = DownTransitionFromFolded(32, 1, name="down_tr32",
+                                         **kw)(out16f, train)
+        out64 = DownTransition(64, 2, name="down_tr64", **kw)(out32,
+                                                              train)
+        out128 = DownTransition(128, 3, name="down_tr128", **kw)(out64,
+                                                                 train)
+        out256 = DownTransition(256, 2, name="down_tr256", **kw)(out128,
+                                                                 train)
+        out = UpTransition(256, 2, name="up_tr256", **kw)(out256, out128,
+                                                          train)
+        out = UpTransition(128, 2, name="up_tr128", **kw)(out, out64,
+                                                          train)
+        out = UpTransition(64, 1, name="up_tr64", **kw)(out, out32,
+                                                        train)
+        out = UpTransitionFolded(32, 1, name="up_tr32", **kw)(out,
+                                                              out16f,
+                                                              train)
+        return OutputTransitionFolded(self.n_cls, name="out_tr",
+                                      **kw)(out, train)
+
+
+class VNetDecoderFolded(nn.Module):
+    """VNetDecoder (vnet_cct.py:177-195) with the full-res level folded;
+    takes out16 FOLDED, returns unfolded logits.  Param paths match
+    main_decoder/up_tr*/out_tr exactly."""
+
+    n_cls: int
+    hebb: Optional[HebbSpec] = None
+    init_type: str = "kaiming"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, out256, out128, out64, out32, out16f,
+                 train: bool = False):
+        kw = dict(hebb=self.hebb, init_type=self.init_type,
+                  dtype=self.dtype)
+        out = UpTransition(256, 2, name="up_tr256", **kw)(out256, out128,
+                                                          train)
+        out = UpTransition(128, 2, name="up_tr128", **kw)(out, out64,
+                                                          train)
+        out = UpTransition(64, 1, name="up_tr64", **kw)(out, out32,
+                                                        train)
+        out = UpTransitionFolded(32, 1, name="up_tr32", **kw)(out,
+                                                              out16f,
+                                                              train)
+        return OutputTransitionFolded(self.n_cls, name="out_tr",
+                                      **kw)(out, train)
+
+
+class VNetCCTS2D(nn.Module):
+    """VNetCCT (vnet_cct.py:195-232) with the full-res level folded.
+    Perturbations are applied in the ORIGINAL layout (identical
+    semantics and rng draws to ``vnet_cct`` — out16 is unfolded,
+    perturbed, refolded).  Same param tree / checkpoints."""
+
+    in_channels: int
+    n_cls: int
+    hebb: Optional[HebbSpec] = None
+    init_type: str = "kaiming"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import jax
+
+        from .common import perturb_features
+        kw = dict(hebb=self.hebb, init_type=self.init_type,
+                  dtype=self.dtype)
+        out16f = FoldedInputTransition(name="in_tr", **kw)(x, train)
+        out32 = DownTransitionFromFolded(32, 1, name="down_tr32",
+                                         **kw)(out16f, train)
+        out64 = DownTransition(64, 2, name="down_tr64", **kw)(out32,
+                                                              train)
+        out128 = DownTransition(128, 3, name="down_tr128", **kw)(out64,
+                                                                 train)
+        out256 = DownTransition(256, 2, name="down_tr256", **kw)(out128,
+                                                                 train)
+        decoder = VNetDecoderFolded(self.n_cls, name="main_decoder",
+                                    **kw)
+
+        def decode(f256, f128, f64, f32, f16f):
+            return decoder(f256, f128, f64, f32, f16f, train)
+
+        main = decode(out256, out128, out64, out32, out16f)
+        if not self.has_rng("perturb"):
+            return main, main, main, main
+        keys = jax.random.split(self.make_rng("perturb"), 3)
+        feats = [out256, out128, out64, out32,
+                 s2d3d.unfold3(out16f, FOLD)]
+        aux = []
+        for k, kind in zip(keys, ("noise", "dropout",
+                                  "feature_dropout")):
+            p = perturb_features(k, feats, kind)
+            aux.append(decode(p[0], p[1], p[2], p[3],
+                              s2d3d.fold3(p[4], FOLD)))
+        return (main, *aux)
+
+
+class VNetDTCS2D(nn.Module):
+    """VNetDTC (vnet_dtc.py:148-190) with the full-res level folded;
+    dual SDF(tanh)/seg OutputTransition heads.  Same param tree."""
+
+    in_channels: int
+    n_cls: int
+    hebb: Optional[HebbSpec] = None
+    init_type: str = "kaiming"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(hebb=self.hebb, init_type=self.init_type,
+                  dtype=self.dtype)
+        out16f = FoldedInputTransition(name="in_tr", **kw)(x, train)
+        out32 = DownTransitionFromFolded(32, 1, name="down_tr32",
+                                         **kw)(out16f, train)
+        out64 = DownTransition(64, 2, name="down_tr64", **kw)(out32,
+                                                              train)
+        out128 = DownTransition(128, 3, name="down_tr128", **kw)(out64,
+                                                                 train)
+        out256 = DownTransition(256, 2, name="down_tr256", **kw)(out128,
+                                                                 train)
+        out = UpTransition(256, 2, name="up_tr256", **kw)(out256, out128,
+                                                          train)
+        out = UpTransition(128, 2, name="up_tr128", **kw)(out, out64,
+                                                          train)
+        out = UpTransition(64, 1, name="up_tr64", **kw)(out, out32,
+                                                        train)
+        out = UpTransitionFolded(32, 1, name="up_tr32", **kw)(out,
+                                                              out16f,
+                                                              train)
+        sdf = jnp.tanh(OutputTransitionFolded(self.n_cls, name="out_sdf",
+                                              **kw)(out, train))
+        seg = OutputTransitionFolded(self.n_cls, name="out_seg",
+                                     **kw)(out, train)
+        return sdf, seg

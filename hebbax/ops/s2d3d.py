@@ -61,27 +61,43 @@ def unfold3(x, f):
     return x.reshape(n, p * fz, q * fy, r * fx, c)
 
 
+def folded_k(k: int, f: int) -> int:
+    """Folded tap count for a k-tap axis at fold factor f: the original
+    offsets t - k//2 in [-(k//2), k//2] land in folded-pixel offsets
+    floor((e + t - k//2)/f) in [-ceil((k//2)/f), ceil((k//2)/f)] — a
+    TRIMMED symmetric window (k=5, f=2 -> 3 folded taps, not 5; an
+    untrimmed kernel would spend 4.6x redundant FLOPs on zero planes).
+    """
+    if f == 1:
+        return k
+    half = k // 2
+    return 2 * (-(-half // f)) + 1
+
+
 @functools.lru_cache(maxsize=None)
 def _axis_selector(k: int, f: int):
     """Constant 0/1 selector A[t, T, d, e]: original tap t scatters to
-    folded tap T between input subpixel d and output subpixel e
-    (s2d._selector, one axis).  f=1 -> identity."""
-    a = np.zeros((k, k, f, f), np.float32)
+    folded tap T (of the TRIMMED folded_k(k, f) window) between input
+    subpixel d and output subpixel e (s2d._selector, one axis).
+    f=1 -> identity."""
+    kf = folded_k(k, f)
+    a = np.zeros((k, kf, f, f), np.float32)
     if f == 1:
         for t in range(k):
             a[t, t, 0, 0] = 1.0
         return a
-    half = k // 2
+    half, fhalf = k // 2, kf // 2
     for e in range(f):
         for t in range(k):
             big_t, d = divmod(e + t - half, f)
-            a[t, big_t + half, d, e] = 1.0
+            a[t, big_t + fhalf, d, e] = 1.0
     return a
 
 
 def folded_kernel_shape3(k, in_groups, co, f):
     p = prodf(f)
-    return (k, k, k, p * sum(in_groups), p * co)
+    kz, ky, kx = (folded_k(k, a) for a in f)
+    return (kz, ky, kx, p * sum(in_groups), p * co)
 
 
 def fold_conv_kernel3(w, in_groups, f):
@@ -97,12 +113,13 @@ def fold_conv_kernel3(w, in_groups, f):
     sz = jnp.asarray(_axis_selector(kz, fz), w.dtype)
     sy = jnp.asarray(_axis_selector(ky, fy), w.dtype)
     sx = jnp.asarray(_axis_selector(kx, fx), w.dtype)
+    fkz, fky, fkx = (folded_k(k, a) for k, a in zip((kz, ky, kx), f))
     parts, off = [], 0
     for g in in_groups:
         wf = jnp.einsum("zZde,yYfg,xXhi,zyxmn->ZYXdfhmegin",
                         sz, sy, sx, w[:, :, :, off:off + g, :],
                         precision=jax.lax.Precision.HIGHEST)
-        parts.append(wf.reshape(kz, ky, kx, p * g, p * co))
+        parts.append(wf.reshape(fkz, fky, fkx, p * g, p * co))
         off += g
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=3)
 
@@ -115,10 +132,11 @@ def unfold_wgrad3(gf, k, in_groups, co, f, dtype=None):
     sz = jnp.asarray(_axis_selector(k, fz), gf.dtype)
     sy = jnp.asarray(_axis_selector(k, fy), gf.dtype)
     sx = jnp.asarray(_axis_selector(k, fx), gf.dtype)
+    fkz, fky, fkx = (folded_k(k, a) for a in (fz, fy, fx))
     parts, off = [], 0
     for g in in_groups:
         gf_g = gf[:, :, :, off:off + p * g, :].reshape(
-            k, k, k, fz, fy, fx, g, fz, fy, fx, co)
+            fkz, fky, fkx, fz, fy, fx, g, fz, fy, fx, co)
         parts.append(jnp.einsum(
             "zZde,yYfg,xXhi,ZYXdfhmegin->zyxmn", sz, sy, sx, gf_g,
             precision=jax.lax.Precision.HIGHEST))
@@ -162,6 +180,55 @@ def fold_transpose_kernel3(w, f):
         + (ci, pf * co)
     strides = tuple(1 if f[ax] == 2 else 2 for ax in range(3))
     return wt.reshape(shape), strides
+
+
+def folded_pad3(k, f):
+    """Same-pad config for the TRIMMED folded kernel: folded_k//2 per
+    axis (k=5 f=2 -> pad 1 on the folded grid; f=1 -> k//2)."""
+    return tuple((folded_k(k, a) // 2,) * 2 for a in f)
+
+
+def fold_down_kernel3(w, f):
+    """k=2/s=2 strided conv CONSUMING a folded input (VNet
+    DownTransition, vnet.py:85-104): on f==2 axes both taps live inside
+    ONE folded pixel — they become input-channel subpixel blocks — so
+    with full (2,2,2) folding the op is a dense (8·Ci, Co) matmul at
+    the output resolution (1x FLOPs, ideal MXU shape).  f==1 axes keep
+    their k=2/s=2 structure.  Returns (w', strides') for
+    ``rules.conv_fwd(x_folded, w', strides')``; the output is UNFOLDED
+    (it lives at the strided resolution)."""
+    kz, ky, kx, ci, co = w.shape
+    assert (kz, ky, kx) == (2, 2, 2), (kz, ky, kx)
+    # reshape each kernel axis into (spatial_tap, subpixel): f==2 axes
+    # contribute (1, 2), f==1 axes (2, 1); then group (dz, dy, dx) into
+    # the input-channel block in fold3's subpixel-major order.
+    shp = []
+    for a in range(3):
+        shp += ([1, 2] if f[a] == 2 else [2, 1])
+    wt = w.reshape(tuple(shp) + (ci, co))
+    wt = jnp.transpose(wt, (0, 2, 4, 1, 3, 5, 6, 7))
+    sz, sy, sx = (1 if f[a] == 2 else 2 for a in range(3))
+    pf = prodf(tuple(2 if f[a] == 2 else 1 for a in range(3)))
+    strides = tuple(1 if f[a] == 2 else 2 for a in range(3))
+    return wt.reshape(sz, sy, sx, pf * ci, co), strides
+
+
+def regroup3(x, groups, f):
+    """Grouped folded concat -> STANDARD folded channel order.
+
+    A concat of folded tensors keeps per-source subpixel blocks
+    ((d, c_g) per group); convs consume that via ``in_groups``, but
+    elementwise ops against a standard-order folded tensor (VNet's
+    residual adds) need ((d), (c over all groups)).  Static block
+    transpose — no gather."""
+    pf = prodf(f)
+    parts, off = [], 0
+    for g in groups:
+        parts.append(x[..., off:off + pf * g].reshape(
+            x.shape[:-1] + (pf, g)))
+        off += pf * g
+    y = jnp.concatenate(parts, axis=-1)
+    return y.reshape(x.shape[:-1] + (pf * sum(groups),))
 
 
 def subpixel_max3(x, f):
@@ -227,6 +294,7 @@ def per_subpixel3(fn, x, f, co=None):
     return y.reshape(n, p, q, r, pf * y.shape[-1])
 
 
-__all__ = ["fold3", "unfold3", "fold_conv_kernel3", "unfold_wgrad3",
+__all__ = ["fold3", "unfold3", "folded_k", "fold_conv_kernel3", "unfold_wgrad3",
            "fold_bias3", "subpixel_max3", "per_subpixel3", "prodf",
-           "folded_kernel_shape3", "transpose_kernel_matrix"]
+           "folded_kernel_shape3", "transpose_kernel_matrix",
+           "folded_pad3", "fold_down_kernel3", "regroup3"]

@@ -116,3 +116,62 @@ def test_fold_transpose_kernel_exact(f):
     got = rules.conv_transpose_fwd(x, wf, strides)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5)
+
+
+@pytest.mark.parametrize("f", FACTORS)
+def test_folded_conv_k5_trimmed_exact(f):
+    """5x5x5 stride-1 same-pad conv == TRIMMED folded conv (folded_k
+    taps, pad folded_k//2) on the folded input — the VNet LUConv case."""
+    ci, co = 2, 3
+    x = _rand((1, 8, 8, 8, ci), 6)
+    w = _rand((5, 5, 5, ci, co), 7)
+    ref = rules.conv_fwd(x, w, (1, 1, 1), ((2, 2),) * 3)
+    wf = s2d3d.fold_conv_kernel3(w, (ci,), f)
+    assert wf.shape == s2d3d.folded_kernel_shape3(5, (ci,), co, f)
+    yf = rules.conv_fwd(s2d3d.fold3(x, f), wf, (1, 1, 1),
+                        s2d3d.folded_pad3(5, f))
+    out = s2d3d.unfold3(yf, f)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5)
+
+
+@pytest.mark.parametrize("f", FACTORS)
+def test_k5_wgrad_unfold_exact(f):
+    """Trimmed-folded 5^3 wgrad mapped back == original wgrad."""
+    ci, co = 2, 3
+    x = _rand((1, 8, 8, 8, ci), 8)
+    cot = _rand((1, 8, 8, 8, co), 9)
+    ref = rules._wgrad(rules._conv_fwd_raw, x, (5, 5, 5, ci, co), cot,
+                       (1, 1, 1), ((2, 2),) * 3)
+    xf = s2d3d.fold3(x, f)
+    cf = s2d3d.fold3(cot, f)
+    wf_shape = s2d3d.folded_kernel_shape3(5, (ci,), co, f)
+    gf = rules._wgrad(rules._conv_fwd_raw, xf, wf_shape, cf, (1, 1, 1),
+                      s2d3d.folded_pad3(5, f))
+    got = s2d3d.unfold_wgrad3(gf, 5, (ci,), co, f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("f", FACTORS)
+def test_fold_down_kernel_exact(f):
+    """k2/s2 strided conv on the original == fold_down_kernel3 conv on
+    the folded input (the VNet down_conv-as-matmul path)."""
+    ci, co = 3, 4
+    x = _rand((2, 8, 8, 8, ci), 10)
+    w = _rand((2, 2, 2, ci, co), 11)
+    ref = rules.conv_fwd(x, w, (2, 2, 2))
+    wf, strides = s2d3d.fold_down_kernel3(w, f)
+    got = rules.conv_fwd(s2d3d.fold3(x, f), wf, strides)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5)
+
+
+def test_regroup3_matches_unfold_concat():
+    f = (2, 2, 2)
+    a = _rand((1, 4, 4, 4, 3), 12)
+    b = _rand((1, 4, 4, 4, 5), 13)
+    grouped = jnp.concatenate([s2d3d.fold3(a, f), s2d3d.fold3(b, f)], -1)
+    std = s2d3d.regroup3(grouped, (3, 5), f)
+    ref = s2d3d.fold3(jnp.concatenate([a, b], -1), f)
+    assert jnp.array_equal(std, ref)
