@@ -152,17 +152,24 @@ def _build(net, dtype_name):
     return model, img, variables
 
 
-def run_train_metric(ctrl=None, net=None, dtype_name=None, ctrl_tag=""):
+def run_train_metric(ctrl=None, net=None, dtype_name=None, ctrl_tag="",
+                     pretrain=False):
     """unet3d supervised train-step throughput (train_sup_3d.py:191-239
-    protocol).  ctrl: torch-cpu steps/s (None -> unmeasured)."""
+    protocol).  ctrl: torch-cpu steps/s (None -> unmeasured).
+    pretrain=True (or BENCH3D_MODE=pretrain standalone) instead times
+    the 3D Hebbian swta_t pretrain step (pretrain_hebbian_unsup_3d.py
+    defaults: alpha=1, exclude=conv head, adam, head-only backprop)."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from hebbax.engine.state import TrainState
     from hebbax.engine.steps import make_sup_train_step
+    from hebbax.hebb.spec import HebbSpec
+    from hebbax.hebb.surgery import pretrain_trainable_mask
+    from hebbax.models import get_network
     from hebbax.ops.losses import segmentation_loss
-    from hebbax.utils.timing import measure_step
+    from hebbax.utils.timing import jitted_init, measure_step
 
     # default: the space-to-depth folded fast path (exact param/output
     # parity with unet3d, checkpoints interchangeable — tests/
@@ -171,19 +178,40 @@ def run_train_metric(ctrl=None, net=None, dtype_name=None, ctrl_tag=""):
                                 os.environ.get("BENCH3D_NET",
                                                "unet3d_s2d"))
     dtype_name = dtype_name or os.environ.get("BENCH3D_DTYPE", "bfloat16")
-    model, img, variables = _build(net, dtype_name)
+    if pretrain:
+        spec = HebbSpec(mode="swta_t", k=50.0, w_nrm=True, alpha=1.0,
+                        exclude=("conv",))
+        dtype = (jnp.bfloat16 if dtype_name in ("bfloat16", "bf16")
+                 else None)
+        model = get_network(net, 1, 2, hebb=spec, dtype=dtype)
+        rngs = {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}
+        img = jnp.asarray(np.random.RandomState(0).rand(1, *PATCH, 1),
+                          jnp.float32)
+        variables = jitted_init(model, rngs, img, train=False)
+    else:
+        spec = None
+        model, img, variables = _build(net, dtype_name)
     msk = jnp.asarray(np.random.RandomState(1).randint(
         0, 2, (1,) + PATCH), jnp.int32)
-    tx = optax.sgd(0.1, momentum=0.9)
+    tx = (optax.adam(1e-3) if pretrain
+          else optax.sgd(0.1, momentum=0.9))
     state = TrainState(params=variables["params"],
                        batch_stats=variables.get("batch_stats"),
                        opt_state=tx.init(variables["params"]), step=0)
     criterion = segmentation_loss("dice", False, num_classes=2)
-    step = make_sup_train_step(model, net, criterion, tx)
+    kw = {}
+    if pretrain:
+        kw = dict(hebb_alpha=1.0,
+                  trainable_mask=pretrain_trainable_mask(
+                      variables["params"], spec.exclude),
+                  backprop_only=spec.exclude)
+    step = make_sup_train_step(model, net, criterion, tx, **kw)
     batch = {"image": img, "mask": msk}
     key = jax.random.PRNGKey(2)
     dt = measure_step(step, state, batch, key, n1=10, n2=30)
-    unit = f"patches/s (bs=1, 96x96x80, {net} {dtype_name})"
+    unit = (f"patches/s (bs=1, 96x96x80, {net} {dtype_name}"
+            + (", swta_t pretrain)" if pretrain else ")"))
     if ctrl:
         unit += f"; torch-cpu control {ctrl:.3f} steps/s{ctrl_tag}"
     print(json.dumps(
@@ -207,7 +235,7 @@ def run_infer_metric(ctrl=None, net=None, dtype_name=None, ctrl_tag=""):
     net = net or os.environ.get("BENCH3D_NET", "unet3d")
     dtype_name = dtype_name or os.environ.get("BENCH3D_DTYPE", "bfloat16")
     model, img, variables = _build(net, dtype_name)
-    bs = 4
+    bs = int(os.environ.get("BENCH3D_INFER_BS", "4"))
     inf_vars = {"params": variables["params"]}
     if variables.get("batch_stats") is not None:
         inf_vars["batch_stats"] = variables["batch_stats"]
@@ -256,7 +284,8 @@ def main():
         ctrl = (float(env_ctrl) if env_ctrl else
                 None if os.environ.get("BENCH3D_SKIP_CONTROL")
                 else torch_control_train_steps_per_sec())
-        run_train_metric(ctrl)
+        run_train_metric(
+            ctrl, pretrain=os.environ.get("BENCH3D_MODE") == "pretrain")
     if not os.environ.get("BENCH3D_SKIP_INFER"):
         control = (None if os.environ.get("BENCH3D_SKIP_CONTROL")
                    else torch_control_volumes_per_sec())

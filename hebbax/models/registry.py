@@ -25,6 +25,7 @@ from .unet3d_s2d import UNet3DS2D
 from .vnet_s2d import VNetCCTS2D, VNetDTCS2D, VNetS2D
 from .unet3d import UNet3D, UNet3DCCT, UNet3DDTC, UNet3DSuperpix, UNet3DVAE
 from .urpc3d import UNet3DURPC
+from .urpc3d_s2d import UNet3DURPCS2D
 from .vnet import VNet, VNetCCT, VNetDTC
 
 # name -> (factory, metadata)
@@ -64,6 +65,9 @@ _REGISTRY = {
     "unet3d_min": (lambda **kw: UNet3D(init_features=32, **kw),
                    dict(nd=3, outputs="single")),
     "unet3d_urpc": (UNet3DURPC, dict(nd=3, outputs="deep4")),
+    # "unet3d_urpc", top two levels space-to-depth folded
+    # (models/urpc3d_s2d.py)
+    "unet3d_urpc_s2d": (UNet3DURPCS2D, dict(nd=3, outputs="deep4")),
     "unet3d_cct": (UNet3DCCT, dict(nd=3, outputs="deep4",
                                    rngs=("perturb",))),
     "unet3d_cct_min": (lambda **kw: UNet3DCCT(init_features=32, **kw),
