@@ -21,7 +21,8 @@ from .snn import ANNVGG, SNNVGG
 from .unet2d import (UNet2D, UNetCCT2D, UNetSuperpix2D, UNetURPC2D,
                      UNetVAE2D)
 from .unet2d_s2d import UNet2DS2D, UNetCCT2DS2D, UNetURPC2DS2D
-from .unet3d_s2d import UNet3DS2D
+from .unet3d_s2d import (UNet3DCCTS2D, UNet3DDTCS2D,
+                         UNet3DS2D)
 from .vnet_s2d import VNetCCTS2D, VNetDTCS2D, VNetS2D
 from .unet3d import UNet3D, UNet3DCCT, UNet3DDTC, UNet3DSuperpix, UNet3DVAE
 from .urpc3d import UNet3DURPC
@@ -62,6 +63,9 @@ _REGISTRY = {
     # space-to-depth folded full-res level: same params/checkpoints as
     # "unet3d", lane-dense compute layout (models/unet3d_s2d.py)
     "unet3d_s2d": (UNet3DS2D, dict(nd=3, outputs="single")),
+    "unet3d_cct_s2d": (UNet3DCCTS2D, dict(nd=3, outputs="deep4",
+                                          rngs=("perturb",))),
+    "unet3d_dtc_s2d": (UNet3DDTCS2D, dict(nd=3, outputs="dtc")),
     "unet3d_min": (lambda **kw: UNet3D(init_features=32, **kw),
                    dict(nd=3, outputs="single")),
     "unet3d_urpc": (UNet3DURPC, dict(nd=3, outputs="deep4")),

@@ -151,7 +151,13 @@ class UNet3DCCT(nn.Module):
         kw = dict(hebb=self.hebb, init_type=self.init_type, dtype=self.dtype)
         feats, bottleneck = Encoder3D(self.init_features, name="encoder",
                                       **kw)(x, train)
-        decoder = Decoder3D(self.init_features, name="main_decoder", **kw)
+        # remat: the shared decoder runs 4x per forward (8x per semi
+        # step with the unsup batch); storing all passes' activations
+        # for backward exceeds the v5e's 16G HBM at the reference
+        # 96x96x80 patch (measured: 16.88G requested).  Recompute them
+        # in the backward instead — params/grads unchanged.
+        decoder = nn.remat(Decoder3D, static_argnums=(3,))(
+            self.init_features, name="main_decoder", **kw)
         head = HConv(self.n_cls, kernel_size=(1, 1, 1), name="conv", **kw)
 
         def decode(b, f):

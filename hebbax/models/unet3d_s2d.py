@@ -198,3 +198,86 @@ class UNet3DS2D(nn.Module):
         yf = FoldedHConv3(self.n_cls, 1, (self.init_features,),
                           name="conv", **kw)(dec, train)
         return s2d3d.unfold3(yf, tuple(self.fold))
+
+
+class UNet3DDTCS2D(nn.Module):
+    """UNet3DDTC (unet3d_dtc.py:61-98) on the folded layout: dual tanh
+    SDF + seg 1x1x1 heads over the folded pre-head features.  Identical
+    parameter tree / checkpoints to 'unet3d_dtc'."""
+
+    in_channels: int
+    n_cls: int
+    init_features: int = 64
+    fold: Sequence[int] = FOLD
+    hebb: Optional[HebbSpec] = None
+    init_type: str = "kaiming"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(fold=self.fold, hebb=self.hebb,
+                  init_type=self.init_type, dtype=self.dtype)
+        feats, bottleneck = FoldedEncoder3D(self.init_features,
+                                            name="encoder",
+                                            **kw)(x, train)
+        dec = FoldedDecoder3D(self.init_features, name="decoder",
+                              **kw)(bottleneck, feats, train)
+        f = tuple(self.fold)
+        sdf = jnp.tanh(s2d3d.unfold3(
+            FoldedHConv3(self.n_cls, 1, (self.init_features,),
+                         name="out_sdf", **kw)(dec, train), f))
+        seg = s2d3d.unfold3(
+            FoldedHConv3(self.n_cls, 1, (self.init_features,),
+                         name="out_seg", **kw)(dec, train), f)
+        return sdf, seg
+
+
+class UNet3DCCTS2D(nn.Module):
+    """UNet3DCCT (unet3d_cct.py:125-174) on the folded layout: the
+    shared decoder + head run folded for all four passes (clean + 3
+    perturbed), so the fold pays 4x.  Perturbations are applied in the
+    ORIGINAL layout (identical semantics and rng draws to 'unet3d_cct'
+    — feats[0] is unfolded, perturbed, refolded).  Identical parameter
+    tree / checkpoints."""
+
+    in_channels: int
+    n_cls: int
+    init_features: int = 64
+    fold: Sequence[int] = FOLD
+    hebb: Optional[HebbSpec] = None
+    init_type: str = "kaiming"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .common import perturb_features
+
+        kw = dict(fold=self.fold, hebb=self.hebb,
+                  init_type=self.init_type, dtype=self.dtype)
+        f = tuple(self.fold)
+        feats, bottleneck = FoldedEncoder3D(self.init_features,
+                                            name="encoder",
+                                            **kw)(x, train)
+        # remat: see UNet3DCCT — 4 decoder passes/forward OOM the HBM
+        # at the reference patch size without it
+        decoder = nn.remat(FoldedDecoder3D, static_argnums=(3,))(
+            self.init_features, name="main_decoder", **kw)
+        head = FoldedHConv3(self.n_cls, 1, (self.init_features,),
+                            name="conv", **kw)
+
+        def decode(b, fs):
+            return s2d3d.unfold3(head(decoder(b, fs, train), train), f)
+
+        main = decode(bottleneck, feats)
+        if not self.has_rng("perturb"):
+            return main, main, main, main
+        keys = jax.random.split(self.make_rng("perturb"), 3)
+        all_feats = [s2d3d.unfold3(feats[0], f)] + feats[1:] \
+            + [bottleneck]
+        aux = []
+        for k, kind in zip(keys, ("noise", "dropout",
+                                  "feature_dropout")):
+            p = perturb_features(k, all_feats, kind)
+            aux.append(decode(p[-1],
+                              [s2d3d.fold3(p[0], f)] + p[1:4]))
+        return (main, *aux)

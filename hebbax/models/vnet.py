@@ -194,7 +194,10 @@ class VNetCCT(nn.Module):
                                                                  train)
         out256 = DownTransition(256, 2, name="down_tr256", **kw)(out128,
                                                                  train)
-        decoder = VNetDecoder(self.n_cls, name="main_decoder", **kw)
+        # remat: 4 shared-decoder passes/forward OOM the 16G HBM at the
+        # reference patch size (see UNet3DCCT); recompute in backward
+        decoder = nn.remat(VNetDecoder, static_argnums=(6,))(
+            self.n_cls, name="main_decoder", **kw)
         feats = [out256, out128, out64, out32, out16]
         main = decoder(*feats, train)
         if self.has_rng("perturb"):

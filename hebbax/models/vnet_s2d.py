@@ -262,8 +262,8 @@ class VNetCCTS2D(nn.Module):
                                                                  train)
         out256 = DownTransition(256, 2, name="down_tr256", **kw)(out128,
                                                                  train)
-        decoder = VNetDecoderFolded(self.n_cls, name="main_decoder",
-                                    **kw)
+        decoder = nn.remat(VNetDecoderFolded, static_argnums=(6,))(
+            self.n_cls, name="main_decoder", **kw)
 
         def decode(f256, f128, f64, f32, f16f):
             return decoder(f256, f128, f64, f32, f16f, train)

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from hebbax.engine.semi import cct_unsup, deep4_sup, make_semi_step, urpc_unsup
+from hebbax.engine.semi import (cct_unsup, deep4_sup, dtc_sup,
+                                dtc_unsup, make_semi_step, urpc_unsup)
 from hebbax.engine.state import TrainState
 from hebbax.models import get_network
 from hebbax.ops.losses import segmentation_loss
@@ -42,13 +43,21 @@ def bench(net):
     variables = jitted_init(model, rngs, sup_img, train=False)
     criterion = segmentation_loss("dice", False, num_classes=2)
     tx = optax.sgd(0.1, momentum=0.9)
-    unsup_fn = urpc_unsup if "urpc" in net else cct_unsup
-    step = make_semi_step(model, net, criterion, tx, unsup_fn,
-                          deep4_sup(criterion))
+    if "urpc" in net:
+        unsup_fn, sup_fn = urpc_unsup, deep4_sup(criterion)
+    elif "dtc" in net:
+        unsup_fn, sup_fn = dtc_unsup, dtc_sup(criterion)
+    else:
+        unsup_fn, sup_fn = cct_unsup, deep4_sup(criterion)
+    step = make_semi_step(model, net, criterion, tx, unsup_fn, sup_fn)
     state = TrainState(params=variables["params"],
                        batch_stats=variables.get("batch_stats"),
                        opt_state=tx.init(variables["params"]), step=0)
-    dt = measure_step(step, state, {"image": sup_img, "mask": masks},
+    sup_batch = {"image": sup_img, "mask": masks}
+    if "dtc" in net:  # DTC's sup loss regresses the gt SDF channel
+        sup_batch["mask_sdf"] = jnp.asarray(
+            rs.rand(1, *PATCH) * 2 - 1, jnp.float32)
+    dt = measure_step(step, state, sup_batch,
                       {"image": unsup_img}, jnp.float32(1.0),
                       jax.random.PRNGKey(2), n1=10, n2=30)
     print(f"{net} {DTYPE}: {dt * 1e3:.1f} ms/step "
