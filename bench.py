@@ -285,7 +285,7 @@ class _Controls:
                 except Exception:
                     pass
 
-    def get(self, name, timeout=None):
+    def get(self, name):
         """-> (value, ' (cached control)' | '')."""
         if self._skip:
             return None, ""
@@ -328,7 +328,7 @@ def main():
     finally:
         NETWORK_OVERRIDE.update(old_net)
         DTYPE = old_dtype
-    baseline, btag = controls.get("sup2d", timeout=min(remaining(), 240))
+    baseline, btag = controls.get("sup2d")
     headline = json.dumps({
         "metric": "glas2d_unet_train_images_per_sec",
         "value": round(imgs_fast, 2),
@@ -350,8 +350,7 @@ def main():
             skip_note("3D train metric", 420)
         else:
             try:
-                ctrl, tag = controls.get(
-                    "train3d", timeout=min(remaining() - 300, 240))
+                ctrl, tag = controls.get("train3d")
                 bench_3d.run_train_metric(ctrl, ctrl_tag=tag)
             except Exception as e:
                 print(f"# bench_3d train failed: {e}", flush=True)
@@ -359,8 +358,7 @@ def main():
             skip_note("3D sliding-window metric", 360)
         else:
             try:
-                ctrl, tag = controls.get(
-                    "infer3d", timeout=min(remaining() - 240, 300))
+                ctrl, tag = controls.get("infer3d")
                 bench_3d.run_infer_metric(ctrl, ctrl_tag=tag)
             except Exception as e:
                 print(f"# bench_3d infer failed: {e}", flush=True)
@@ -387,8 +385,7 @@ def main():
             skip_note("Hebbian pretrain metric", 240)
         else:
             p_steps, p_imgs = bench_hebbax_pretrain()
-            p_base, ptag = controls.get("pre2d",
-                                        timeout=min(remaining(), 120))
+            p_base, ptag = controls.get("pre2d")
             print(json.dumps({
                 "metric": "glas2d_hebbian_swta_t_pretrain_images_per_sec",
                 "value": round(p_imgs, 2),

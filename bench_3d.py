@@ -134,7 +134,7 @@ def torch_control_train_steps_per_sec(iters=1):
         return None
 
 
-def _build(net, dtype_name):
+def _build(net, dtype_name, hebb=None):
     import jax
     import jax.numpy as jnp
 
@@ -142,7 +142,7 @@ def _build(net, dtype_name):
 
     dtype = (jnp.bfloat16 if dtype_name in ("bfloat16", "bf16")
              else None)
-    model = get_network(net, 1, 2, dtype=dtype)
+    model = get_network(net, 1, 2, dtype=dtype, hebb=hebb)
     rngs = {"params": jax.random.PRNGKey(0),
             "dropout": jax.random.PRNGKey(1)}
     img = jnp.asarray(np.random.RandomState(0).rand(1, *PATCH, 1),
@@ -167,9 +167,8 @@ def run_train_metric(ctrl=None, net=None, dtype_name=None, ctrl_tag="",
     from hebbax.engine.steps import make_sup_train_step
     from hebbax.hebb.spec import HebbSpec
     from hebbax.hebb.surgery import pretrain_trainable_mask
-    from hebbax.models import get_network
     from hebbax.ops.losses import segmentation_loss
-    from hebbax.utils.timing import jitted_init, measure_step
+    from hebbax.utils.timing import measure_step
 
     # default: the space-to-depth folded fast path (exact param/output
     # parity with unet3d, checkpoints interchangeable — tests/
@@ -178,20 +177,9 @@ def run_train_metric(ctrl=None, net=None, dtype_name=None, ctrl_tag="",
                                 os.environ.get("BENCH3D_NET",
                                                "unet3d_s2d"))
     dtype_name = dtype_name or os.environ.get("BENCH3D_DTYPE", "bfloat16")
-    if pretrain:
-        spec = HebbSpec(mode="swta_t", k=50.0, w_nrm=True, alpha=1.0,
-                        exclude=("conv",))
-        dtype = (jnp.bfloat16 if dtype_name in ("bfloat16", "bf16")
-                 else None)
-        model = get_network(net, 1, 2, hebb=spec, dtype=dtype)
-        rngs = {"params": jax.random.PRNGKey(0),
-                "dropout": jax.random.PRNGKey(1)}
-        img = jnp.asarray(np.random.RandomState(0).rand(1, *PATCH, 1),
-                          jnp.float32)
-        variables = jitted_init(model, rngs, img, train=False)
-    else:
-        spec = None
-        model, img, variables = _build(net, dtype_name)
+    spec = (HebbSpec(mode="swta_t", k=50.0, w_nrm=True, alpha=1.0,
+                     exclude=("conv",)) if pretrain else None)
+    model, img, variables = _build(net, dtype_name, hebb=spec)
     msk = jnp.asarray(np.random.RandomState(1).randint(
         0, 2, (1,) + PATCH), jnp.int32)
     tx = (optax.adam(1e-3) if pretrain

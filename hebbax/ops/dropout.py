@@ -59,6 +59,8 @@ class FastDropout(nn.Module):
         thresh = round((1.0 - self.rate) * 65536)
         if thresh >= 65536:            # rate < 2^-17 rounds to keep-all
             return x
+        if thresh <= 0:                # rate > 1 - 2^-17: drop all
+            return jnp.zeros_like(x)
         r = jax.random.bits(key, x.shape, jnp.uint16)
         keep = r < jnp.uint16(thresh)
         scale = jnp.asarray(65536.0 / thresh, x.dtype)

@@ -285,16 +285,7 @@ def _spmax_bwd(f, x, g):
 _spmax.defvjp(_spmax_fwd, _spmax_bwd)
 
 
-def per_subpixel3(fn, x, f, co=None):
-    """Apply fn over the original-channel axis of a folded tensor."""
-    n, p, q, r, cf = x.shape
-    pf = prodf(f)
-    c = cf // pf if co is None else co
-    y = fn(x.reshape(n, p, q, r, pf, c))
-    return y.reshape(n, p, q, r, pf * y.shape[-1])
-
-
 __all__ = ["fold3", "unfold3", "folded_k", "fold_conv_kernel3", "unfold_wgrad3",
-           "fold_bias3", "subpixel_max3", "per_subpixel3", "prodf",
+           "fold_bias3", "subpixel_max3", "prodf",
            "folded_kernel_shape3", "transpose_kernel_matrix",
            "folded_pad3", "fold_down_kernel3", "regroup3"]
