@@ -100,9 +100,13 @@ def make_superdiff_step(model, criterion, tx, n_cls, timesteps=1000):
                                            mut.get("batch_stats"))
                 return out
 
+            # reference passes loss_fn=criterion and the garbled
+            # conditioner 'img) #' (behaves as 'img') at
+            # pretrain_superdiff_unsup_2d.py:193
             loss_sdiff, pseudo = diff.super_forward(
                 sched_seg, lambda x, t: apply_mode("net_seg", x, t, k1),
-                img, jnp.zeros_like(mask), k1, n_cls, conditioner="img")
+                img, jnp.zeros_like(mask), k1, n_cls, conditioner="img",
+                loss_fn=criterion)
             loss_rec, _ = diff.super_forward(
                 sched_img, lambda x, t: apply_mode("net", x, t, k2),
                 img, pseudo, k2, n_cls, conditioner="target")

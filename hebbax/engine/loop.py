@@ -122,12 +122,20 @@ class SupTrainer:
         # loss accumulates on device; one fetch at epoch end (per-batch
         # float() would synchronize the accelerator every step)
         total_loss, n_batches = 0.0, 0
+        aux_totals = {}
         last = None
         for i, batch in enumerate(self.loaders["train"]):
             batch = self.prep(batch)
             self.state, out = self.train_step(
                 self.state, batch, self._key(epoch, i))
             total_loss = total_loss + out["loss"]
+            # auxiliary scalar losses (e.g. loss_unsup / loss_superdiff of
+            # the pretrainers — the reference prints these per epoch,
+            # pretrain_superdiff_unsup_2d.py:205-207,231)
+            for k, v in out.items():
+                if k != "loss" and k.startswith("loss") and getattr(
+                        v, "ndim", 1) == 0:
+                    aux_totals[k] = aux_totals.get(k, 0.0) + v
             n_batches += 1
             if acc is not None:
                 nv = self._n_valid
@@ -136,7 +144,9 @@ class SupTrainer:
                 else:
                     acc.update(out["logits"], batch["mask"])
             last = (out, batch)
-        return float(total_loss) / max(n_batches, 1), acc, last
+        n = max(n_batches, 1)
+        self._aux_losses = {k: float(v) / n for k, v in aux_totals.items()}
+        return float(total_loss) / n, acc, last
 
     def validate(self, epoch):
         acc = make_accumulator(self.num_classes)
@@ -221,9 +231,13 @@ class SupTrainer:
                                            epoch + 1)
                 self.writer.add_scalar("train/JI", ev[1], epoch + 1)
                 self.writer.add_scalar("train/DC", ev[2], epoch + 1)
+                aux = getattr(self, "_aux_losses", None) or {}
+                for k, v in aux.items():
+                    self.writer.add_scalar(f"train/{k}", v, epoch + 1)
                 self.train_log.append(epoch=epoch + 1, loss=train_loss,
                                       thresh=ev[0], JI=ev[1], DC=ev[2],
-                                      seconds=round(self._epoch_seconds, 3))
+                                      seconds=round(self._epoch_seconds, 3),
+                                      **aux)
 
             if validate:
                 val_loss, ev, preds, names = self.validate(epoch)

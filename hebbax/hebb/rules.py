@@ -69,7 +69,11 @@ def conv_fwd(x, w, strides, padding=None):
     the WEIGHT gradient routes through :func:`wgrad_fwd`, which picks
     the shifted-slices matmul formulation for small-channel sites
     (measured 1.4-1.7x on the C<=16 128^2 sites) — this covers every
-    backprop dW in the model zoo, not just the Hebbian deltas."""
+    backprop dW in the model zoo, not just the Hebbian deltas.
+
+    NOTE: jax.custom_vjp makes this (and therefore every conv in the
+    model zoo) reverse-mode-only — jax.jvp/linearize/hessian through a
+    model forward will raise.  Nothing in-repo uses forward-mode AD."""
     return _conv_fwd_raw(x, w, strides, padding)
 
 

@@ -104,7 +104,7 @@ def load_hf_rad_dino_params(flax_params, repo="microsoft/rad-dino"):
     the updated tree, or the input unchanged when transformers/weights
     are unavailable (offline)."""
     try:
-        import torch
+        import torch  # noqa: F401
         from transformers import AutoModel
 
         hf = AutoModel.from_pretrained(repo)
@@ -112,6 +112,13 @@ def load_hf_rad_dino_params(flax_params, repo="microsoft/rad-dino"):
         return flax_params, False
 
     sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    return apply_hf_state_dict(flax_params, sd), True
+
+
+def apply_hf_state_dict(flax_params, sd):
+    """Map an HF dinov2 ViT-B state dict (name -> numpy array, torch
+    layouts) onto the flax ViTEncoder tree.  Pure function so the key
+    mapping is testable offline against a synthetic state dict."""
     p = jax.tree_util.tree_map(np.asarray, flax_params)
 
     def put(dst_path, value):
@@ -153,4 +160,4 @@ def load_hf_rad_dino_params(flax_params, repo="microsoft/rad-dino"):
         put(blk + ("fc2", "bias"), sd[b + "mlp.fc2.bias"])
     put(("norm", "scale"), sd["layernorm.weight"])
     put(("norm", "bias"), sd["layernorm.bias"])
-    return p, True
+    return p

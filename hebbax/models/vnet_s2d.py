@@ -99,16 +99,22 @@ class DownTransitionFromFolded(nn.Module):
 
     @nn.compact
     def __call__(self, xf, train: bool = False):
-        from .vnet import LUConvStack, _bn
+        from .vnet import _bn
 
         kw = dict(hebb=self.hebb, init_type=self.init_type,
                   dtype=self.dtype)
         down = FoldedDownHConv3(self.out_features, fold=FOLD,
                                 name="down_conv", **kw)(xf, train)
         down = nn.elu(_bn(self, down, train, "bn1", self.dtype))
-        out = LUConvStack(self.out_features, self.n_convs, name="ops",
-                          **kw)(down, train)
-        return nn.elu(out + down)
+        # the 5^3 C=32 LUConv stack at half-res still pads the MXU lane
+        # axis 4x — refold for the stack (measured win,
+        # scripts/microbench_vnet.py "LUConv 5^3 32->32 @half"); the
+        # fold/unfold relayouts are ~7 MB of HBM traffic each
+        downf = s2d3d.fold3(down, FOLD)
+        out = FoldedLUConvStack(self.out_features, self.n_convs,
+                                (self.out_features,), name="ops",
+                                **kw)(downf, train)
+        return s2d3d.unfold3(nn.elu(out + downf), FOLD)
 
 
 class UpTransitionFolded(nn.Module):

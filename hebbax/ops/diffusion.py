@@ -167,34 +167,45 @@ def unnormalize(x):
     return (x + 1.0) * 0.5
 
 
-def super_p_losses(sched, apply_model: Callable, x_start, y_start, t, key):
-    """SuperDiffusion.p_losses (unet_ddpm.py:35-101, loss_fn=None path):
-    noise x_start, concat the conditioner y_start, model predicts on the
-    concatenated input; MSE to the objective target on the x channels,
+def super_p_losses(sched, apply_model: Callable, x_start, y_start, t, key,
+                   loss_fn=None):
+    """SuperDiffusion.p_losses (unet_ddpm.py:35-101): noise x_start,
+    concat the conditioner y_start, model predicts on the concatenated
+    input.  loss_fn=None -> MSE to the objective target on the x channels;
+    loss_fn given -> loss_fn(unnormalized pred_x0, argmax of unnormalized
+    x_start) as in the reference's live call
+    (pretrain_superdiff_unsup_2d.py:193, unet_ddpm.py:90-91).  Either way
     SNR-weighted.  Returns (loss, unnormalized pred_x0)."""
     c_in = x_start.shape[-1]
     noise = jax.random.normal(key, x_start.shape, x_start.dtype)
     x = q_sample(sched, x_start, t, noise)
     x = jnp.concatenate([x, y_start], axis=-1)
     model_out = apply_model(x, t)
-    if sched.objective == "pred_noise":
-        target = predict_noise_from_start(sched, x[..., :c_in], t,
-                                          x_start[..., :c_in])
-    elif sched.objective == "pred_x0":
-        target = x_start[..., :c_in]
-    else:
-        target = predict_v(sched, x_start[..., :c_in], t,
-                           noise[..., :c_in])
-    loss = jnp.mean((model_out - target) ** 2)
-    w = jnp.mean(_extract(sched.loss_weight, t, 1))
     pred = pred_x_start(sched, x[..., :c_in], t, model_out)
+    if loss_fn is None:
+        if sched.objective == "pred_noise":
+            target = predict_noise_from_start(sched, x[..., :c_in], t,
+                                              x_start[..., :c_in])
+        elif sched.objective == "pred_x0":
+            target = x_start[..., :c_in]
+        else:
+            target = predict_v(sched, x_start[..., :c_in], t,
+                               noise[..., :c_in])
+        loss = jnp.mean((model_out - target) ** 2)
+    else:
+        loss = loss_fn(unnormalize(pred),
+                       jnp.argmax(unnormalize(x_start), axis=-1))
+    w = jnp.mean(_extract(sched.loss_weight, t, 1))
     return loss * w, unnormalize(pred)
 
 
 def super_forward(sched, apply_model, img, target_mask, key, n_classes,
-                  conditioner="img"):
+                  conditioner="img", loss_fn=None):
     """SuperDiffusion.forward (unet_ddpm.py:103-116): one-hot + normalize
-    both streams, sample t ~ U{0, T}, route (x, y) by conditioner."""
+    both streams, sample t ~ U{0, T}, route (x, y) by conditioner.  Any
+    conditioner string other than 'target' routes like 'img' — including
+    the reference's live garbled value 'img) #'
+    (pretrain_superdiff_unsup_2d.py:193)."""
     k_t, k_n = jax.random.split(key)
     if target_mask.ndim == img.ndim - 1:
         onehot = jax.nn.one_hot(target_mask.astype(jnp.int32), n_classes)
@@ -204,8 +215,10 @@ def super_forward(sched, apply_model, img, target_mask, key, n_classes,
     t = jax.random.randint(k_t, (img.shape[0],), 0, sched.timesteps)
     img_n, tgt_n = normalize(img), normalize(onehot)
     if conditioner == "target":
-        return super_p_losses(sched, apply_model, img_n, tgt_n, t, k_n)
-    return super_p_losses(sched, apply_model, tgt_n, img_n, t, k_n)
+        return super_p_losses(sched, apply_model, img_n, tgt_n, t, k_n,
+                              loss_fn=loss_fn)
+    return super_p_losses(sched, apply_model, tgt_n, img_n, t, k_n,
+                          loss_fn=loss_fn)
 
 
 def sample_mask(sched, apply_model, img, key, n_classes,

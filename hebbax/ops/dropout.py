@@ -56,11 +56,15 @@ class FastDropout(nn.Module):
             r = jax.random.bits(key, x.shape, jnp.uint8)
             return jnp.where(r < jnp.uint8(128), x + x,
                              jnp.zeros_like(x))
+        if self.rate >= 1.0:           # rate == 1: drop everything
+            return jnp.zeros_like(x)
         thresh = round((1.0 - self.rate) * 65536)
         if thresh >= 65536:            # rate < 2^-17 rounds to keep-all
             return x
-        if thresh <= 0:                # rate > 1 - 2^-17: drop all
-            return jnp.zeros_like(x)
+        # rate in (1 - 2^-17, 1) would round thresh to 0 and break the
+        # inverted-dropout invariant E[y] = x; clamp to the smallest
+        # representable keep probability (1/65536, scaled accordingly)
+        thresh = max(thresh, 1)
         r = jax.random.bits(key, x.shape, jnp.uint16)
         keep = r < jnp.uint16(thresh)
         scale = jnp.asarray(65536.0 / thresh, x.dtype)

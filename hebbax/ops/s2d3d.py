@@ -199,6 +199,9 @@ def fold_down_kernel3(w, f):
     (it lives at the strided resolution)."""
     kz, ky, kx, ci, co = w.shape
     assert (kz, ky, kx) == (2, 2, 2), (kz, ky, kx)
+    # only fold factors 1 and 2 are representable below; anything else
+    # would silently produce a wrong kernel/strides pair
+    assert all(a in (1, 2) for a in f), f
     # reshape each kernel axis into (spatial_tap, subpixel): f==2 axes
     # contribute (1, 2), f==1 axes (2, 1); then group (dz, dy, dx) into
     # the input-channel block in fold3's subpixel-major order.

@@ -32,6 +32,52 @@ def make_2d(out, n_train, n_val, size, seed=0):
     print("2D dataset at", out)
 
 
+def make_2d_texture(out, n_train, n_val, size, seed=0, period=5.0,
+                    noise=0.5):
+    """Texture-discrimination dataset with NO intensity cue: foreground
+    blobs carry a grating orthogonal to the background grating, with
+    identical mean/contrast on both sides.  From-random fine-tuning at
+    1-5% labels does not saturate here, while unsupervised Hebbian
+    pretraining can learn the oriented filters that separate the
+    regions — the headroom the bootstrap-advantage benchmark needs
+    (VERDICT r3 next-round #2)."""
+    rng = np.random.default_rng(seed)
+    for split, n in (("train", n_train), ("val", n_val)):
+        os.makedirs(os.path.join(out, split, "image"), exist_ok=True)
+        os.makedirs(os.path.join(out, split, "mask"), exist_ok=True)
+        for i in range(n):
+            yy, xx = np.mgrid[:size, :size].astype(np.float64)
+            # 1-3 random ellipses define the foreground
+            mask = np.zeros((size, size), bool)
+            for _ in range(int(rng.integers(1, 4))):
+                cy, cx = rng.uniform(size * 0.2, size * 0.8, 2)
+                ry, rx = rng.uniform(size * 0.12, size * 0.3, 2)
+                th = rng.uniform(0, np.pi)
+                dy, dx = yy - cy, xx - cx
+                u = dy * np.cos(th) + dx * np.sin(th)
+                v = -dy * np.sin(th) + dx * np.cos(th)
+                mask |= (u / ry) ** 2 + (v / rx) ** 2 < 1.0
+            theta = rng.uniform(0, np.pi)
+            phase_bg, phase_fg = rng.uniform(0, 2 * np.pi, 2)
+            f = 2 * np.pi / (period * rng.uniform(0.9, 1.1))
+
+            def grating(angle, phase):
+                return np.sin(f * (xx * np.cos(angle)
+                                   + yy * np.sin(angle)) + phase)
+
+            tex = np.where(mask, grating(theta + np.pi / 2, phase_fg),
+                           grating(theta, phase_bg))
+            img = 128.0 + 55.0 * tex + rng.normal(
+                0, noise * 55.0, tex.shape)
+            img = np.clip(img, 0, 255).astype(np.uint8)
+            img = np.stack([img] * 3, -1)
+            Image.fromarray(img).save(
+                os.path.join(out, split, "image", f"{i}.png"))
+            Image.fromarray(mask.astype(np.uint8) * 255).save(
+                os.path.join(out, split, "mask", f"{i}.png"))
+    print("2D texture dataset at", out)
+
+
 def make_3d(out, n_train, n_val, shape, seed=0):
     import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(

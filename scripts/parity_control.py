@@ -46,11 +46,13 @@ def load_module(path, name):
     return m
 
 
-def make_data(out, size, n_train=32, n_val=16, seed=0):
+def make_data(out, size, n_train=32, n_val=16, seed=0, kind="blob"):
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     import make_synth_data
     if not os.path.exists(os.path.join(out, "train", "image")):
-        make_synth_data.make_2d(out, n_train, n_val, size, seed=seed)
+        gen = (make_synth_data.make_2d_texture if kind == "texture"
+               else make_synth_data.make_2d)
+        gen(out, n_train, n_val, size, seed=seed)
 
     from hebbax.config.datasets import dataset_cfg
     from hebbax.data.dataset2d import SegDataset2D as Dataset2D

@@ -274,17 +274,22 @@ def main():
     p.add_argument("--label_frac", default=0.2, type=float)
     p.add_argument("--n_train", default=64, type=int)
     p.add_argument("--n_val", default=24, type=int)
+    p.add_argument("--data", default="blob", choices=("blob", "texture"),
+                   help="'texture' = orientation-only cue, no intensity "
+                        "cue: the regime with bootstrap headroom")
+    p.add_argument("--skip_hebbax", action="store_true")
     args = p.parse_args()
 
     # key the dataset dir by its config: make_data reuses an existing
     # dir, so changing n_train/size must not silently serve stale data
-    out = f"{args.out}_{args.size}_{args.n_train}_{args.n_val}"
+    out = f"{args.out}_{args.data}_{args.size}_{args.n_train}_{args.n_val}"
     arrays = make_data(out, args.size, n_train=args.n_train,
-                       n_val=args.n_val)
+                       n_val=args.n_val, kind=args.data)
     res = {"config": vars(args)}
-    res["hebbax"] = hebbax_cycle(arrays, args.pre_epochs, args.ft_epochs,
-                                 args.batch_size, args.lr,
-                                 seed=args.seed, frac=args.label_frac)
+    if not args.skip_hebbax:
+        res["hebbax"] = hebbax_cycle(
+            arrays, args.pre_epochs, args.ft_epochs, args.batch_size,
+            args.lr, seed=args.seed, frac=args.label_frac)
     if not args.skip_torch:
         res["torch_reference"] = torch_cycle(
             arrays, args.pre_epochs, args.ft_epochs, args.batch_size,

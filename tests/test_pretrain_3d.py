@@ -27,12 +27,17 @@ def tiny_volumes(tmp_path_factory):
     return str(root)
 
 
-@pytest.mark.parametrize("kind,net", [("vae", "unet3d_vae"),
-                                      ("superpix", "unet3d_superpix")])
+@pytest.mark.parametrize("kind,net", [
+    ("vae", "unet3d_vae"),
+    ("superpix", "unet3d_superpix"),
+    # central-z-slice 2D diffusion (pretrain_superdiff_unsup_3d.py:188)
+    pytest.param("superdiff", "unet_ddpm", marks=pytest.mark.slow),
+])
 def test_pretrain_3d(kind, net, tiny_volumes, tmp_path):
     from hebbax.cli.common3d import base_parser_3d
     from hebbax.cli.pretrain_unsup_3d import add_args, build
 
+    extra = ["--timestamp_diffusion", "8"] if kind == "superdiff" else []
     args = add_args(base_parser_3d(), kind).parse_args([
         "--path_dataset", tiny_volumes, "--dataset_name", "Atrial",
         "--path_root_exp", str(tmp_path / "runs"),
@@ -40,6 +45,7 @@ def test_pretrain_3d(kind, net, tiny_volumes, tmp_path):
         "--validate_iter", "1", "--lr", "1e-4",
         "--patch_size", "(16,16,16)",
         "--samples_per_volume_train", "2", "--samples_per_volume_val", "2",
+        *extra,
     ])
     trainer = build(args, kind)
     # shrink the 3D models for CI (init_features=64 default is heavy)

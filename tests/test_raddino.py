@@ -31,6 +31,62 @@ def test_vit_tokens_shape():
     assert grid.shape == (2, 16, 16, 768)
 
 
+def test_hf_key_mapping_forward_parity():
+    """apply_hf_state_dict vs a randomly-initialized HF Dinov2Model
+    (the rad-dino architecture): mapped flax forward must reproduce the
+    torch last_hidden_state.  Uses gelu_pytorch_tanh so both sides share
+    the tanh GELU; at init dinov2's LayerScale is exactly identity, so the
+    (unmapped) lambda parameters don't perturb parity."""
+    transformers = pytest.importorskip("transformers")
+    if not hasattr(transformers, "Dinov2Model"):
+        pytest.skip("transformers lacks Dinov2Model")
+    import torch
+
+    from hebbax.models.raddino import ViTEncoder, apply_hf_state_dict
+
+    cfg = transformers.Dinov2Config(image_size=224, patch_size=14,
+                                    hidden_act="gelu_pytorch_tanh")
+    torch.manual_seed(0)
+    hf = transformers.Dinov2Model(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+
+    enc = ViTEncoder()
+    v = enc.init({"params": jax.random.PRNGKey(0)},
+                 jnp.zeros((1, 224, 224, 3)))
+    mapped = apply_hf_state_dict(v["params"], sd)
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 224, 224, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(x.transpose(0, 3, 1, 2))
+                  ).last_hidden_state.numpy()
+    got = np.asarray(enc.apply({"params": mapped}, jnp.asarray(x)))
+    assert got.shape == want.shape == (1, 257, 768)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+def test_hf_key_mapping_shape_guard():
+    """A state dict with a wrong-shaped tensor must be rejected (the
+    mapping asserts destination shapes)."""
+    transformers = pytest.importorskip("transformers")
+    if not hasattr(transformers, "Dinov2Model"):
+        pytest.skip("transformers lacks Dinov2Model")
+    import torch
+
+    from hebbax.models.raddino import ViTEncoder, apply_hf_state_dict
+
+    cfg = transformers.Dinov2Config(image_size=224, patch_size=14)
+    torch.manual_seed(0)
+    sd = {k: v.detach().numpy()
+          for k, v in transformers.Dinov2Model(cfg).state_dict().items()}
+    sd["embeddings.cls_token"] = np.zeros((1, 2, 768), np.float32)
+    enc = ViTEncoder()
+    v = enc.init({"params": jax.random.PRNGKey(0)},
+                 jnp.zeros((1, 224, 224, 3)))
+    with pytest.raises(AssertionError):
+        apply_hf_state_dict(v["params"], sd)
+
+
 @pytest.fixture()
 def tiny_dataset(tmp_path):
     root = tmp_path / "GlaS"

@@ -132,3 +132,44 @@ def test_dmey_filter_table():
     # LL of a constant image is (approximately) the constant * 2
     const, _ = dwt2(np.ones((64, 64), np.float32), "dmey")
     np.testing.assert_allclose(const[8:-8, 8:-8], 2.0, atol=2e-3)
+
+
+def test_atrial_preprocess_tool(tmp_path):
+    """tools/Atrial/preprocess.py: bbox crop with 10-20 voxel random
+    margins, padded so the in-plane extent is >= 112 where the source
+    allows (reference tools/Atrial/preprocess.py semantics)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "atrial_preprocess", "/root/repo/tools/Atrial/preprocess.py")
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    data = tmp_path / "raw"
+    rng = np.random.default_rng(3)
+    for case in ("case_a", "case_b"):
+        d = data / case
+        os.makedirs(d)
+        img = rng.normal(80, 10, (160, 150, 44)).astype(np.float32)
+        mask = np.zeros((160, 150, 44), np.uint8)
+        # small blob: the 112 in-plane floor must kick in
+        mask[70:90, 60:85, 10:30] = 255
+        write_nrrd(d / "lgemri.nrrd", img)
+        write_nrrd(d / "laendo.nrrd", mask)
+    (data / "notadir.txt").write_text("ignored")
+
+    out_i, out_m = tmp_path / "img", tmp_path / "msk"
+    tool.main(["--data_path", str(data), "--save_image_path", str(out_i),
+               "--save_mask_path", str(out_m), "--seed", "0"])
+
+    for case in ("case_a", "case_b"):
+        ci, _ = read_nrrd(out_i / f"{case}.nrrd")
+        cm, _ = read_nrrd(out_m / f"{case}.nrrd")
+        assert ci.shape == cm.shape
+        # in-plane floor: >= 112 per axis (source is large enough)
+        assert ci.shape[0] >= 112 and ci.shape[1] >= 112
+        # the crop keeps every labeled voxel
+        assert int((cm > 0).sum()) == 20 * 25 * 20
+        # z axis untouched
+        assert ci.shape[2] == 44
+        # margins bounded: bbox (20, 25) + floor padding + 2*20 margin max
+        assert ci.shape[0] <= 112 + 40 + 2 and ci.shape[1] <= 112 + 40 + 2
