@@ -302,6 +302,10 @@ class FoldedHConv3(nn.Module):
     in_groups: Sequence[int]
     fold: Sequence[int] = (2, 1, 1)
     use_bias: bool = True
+    # emit the folded OUTPUT in grouped-concat order (s2d3d.group_out_perm)
+    # instead of standard subpixel-major — free (kernel-side) layout change
+    # that lets residual adds against folded concats skip regroup3
+    out_groups: Optional[Sequence[int]] = None
     hebb: Optional[HebbSpec] = None
     init_type: str = "kaiming"
     dtype: Optional[jnp.dtype] = None
@@ -337,9 +341,17 @@ class FoldedHConv3(nn.Module):
         # in the ORIGINAL layout and keeps the original k//2 pad
         pad = s2d3d.folded_pad3(k, f)
         pad_orig = ((k // 2, k // 2),) * 3
+        bias_f = (s2d3d.fold_bias3(bias.astype(dtype), f)
+                  if bias is not None else None)
+        if self.out_groups is not None:
+            perm = s2d3d.group_out_perm(self.features,
+                                        tuple(self.out_groups), f)
+            wf = wf[..., perm]
+            if bias_f is not None:
+                bias_f = bias_f[perm]
         y = rules.conv_fwd(x, wf, (1, 1, 1), pad)
-        if bias is not None:
-            y = y + s2d3d.fold_bias3(bias.astype(dtype), f)
+        if bias_f is not None:
+            y = y + bias_f
 
         if spec is not None and train and spec.alpha != 0:
             mode = spec.conv_mode(False)
@@ -358,8 +370,18 @@ class FoldedHConv3(nn.Module):
                 off += pf * g
             xu = parts[0] if len(parts) == 1 else jnp.concatenate(
                 parts, axis=-1)
-            yu = s2d3d.unfold3(
-                jax.lax.stop_gradient(y).astype(ddt), f)
+            y_d = jax.lax.stop_gradient(y).astype(ddt)
+            if self.out_groups is not None:
+                # grouped output: unfold per group (each block is a
+                # standard-order folded tensor of its own)
+                yparts, off = [], 0
+                for g in self.out_groups:
+                    yparts.append(s2d3d.unfold3(
+                        y_d[..., off:off + pf * g], f))
+                    off += pf * g
+                yu = jnp.concatenate(yparts, axis=-1)
+            else:
+                yu = s2d3d.unfold3(y_d, f)
             if mode == "swta":
                 delta = rules.swta_conv_delta(w_d, xu, yu, spec.k,
                                               (1, 1, 1),

@@ -52,6 +52,10 @@ class FoldedBatchNorm3(nn.Module):
     pf: int
     momentum: float = 0.9
     epsilon: float = 1e-5
+    # when the folded input is in grouped-concat order (out_groups of
+    # FoldedHConv3 / a folded concat), give the group sizes here; the
+    # (c,) params/stats stay in original channel order (= group-major)
+    groups: Optional[Sequence[int]] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -62,14 +66,25 @@ class FoldedBatchNorm3(nn.Module):
         ra_mean = self.variable("batch_stats", "mean", jnp.zeros, (c,))
         ra_var = self.variable("batch_stats", "var", jnp.ones, (c,))
 
-        xg = x.reshape(x.shape[:-1] + (self.pf, c))
+        groups = (tuple(self.groups) if self.groups is not None
+                  else (c,))
+        assert sum(groups) == c, (groups, c)
+        views, off = [], 0
+        for g in groups:
+            views.append(x[..., off:off + self.pf * g].reshape(
+                x.shape[:-1] + (self.pf, g)))
+            off += self.pf * g
         if train:
             # promote (not hard-cast) so x64 tests stay exact; equals
             # f32 for the f32/bf16 production paths like flax BatchNorm
-            xs = xg.astype(jnp.promote_types(jnp.float32, x.dtype))
-            axes = tuple(range(xs.ndim - 1))
-            mean = jnp.mean(xs, axis=axes)
-            mean2 = jnp.mean(jax.lax.square(xs), axis=axes)
+            means, mean2s = [], []
+            for xgp in views:
+                xs = xgp.astype(jnp.promote_types(jnp.float32, x.dtype))
+                axes = tuple(range(xs.ndim - 1))
+                means.append(jnp.mean(xs, axis=axes))
+                mean2s.append(jnp.mean(jax.lax.square(xs), axis=axes))
+            mean = jnp.concatenate(means)
+            mean2 = jnp.concatenate(mean2s)
             var = jnp.maximum(mean2 - jax.lax.square(mean), 0.0)
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value
@@ -79,10 +94,16 @@ class FoldedBatchNorm3(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
         dtype = self.dtype or x.dtype
-        y = (xg - mean.astype(dtype)) * jax.lax.rsqrt(
-            var.astype(dtype) + jnp.asarray(self.epsilon, dtype))
-        y = y * scale.astype(dtype) + bias.astype(dtype)
-        return y.reshape(x.shape)
+        outs, off = [], 0
+        for xgp, g in zip(views, groups):
+            sl = slice(off, off + g)
+            y = (xgp - mean[sl].astype(dtype)) * jax.lax.rsqrt(
+                var[sl].astype(dtype) + jnp.asarray(self.epsilon, dtype))
+            y = y * scale[sl].astype(dtype) + bias[sl].astype(dtype)
+            outs.append(y.reshape(x.shape[:-1] + (self.pf * g,)))
+            off += g
+        return (outs[0] if len(outs) == 1
+                else jnp.concatenate(outs, axis=-1))
 
 
 class FoldedBlock3D(nn.Module):

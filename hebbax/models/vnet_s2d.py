@@ -41,23 +41,96 @@ class FoldedLUConvStack(nn.Module):
     features: int
     n: int
     in_groups: Sequence[int]
+    fold: Sequence[int] = FOLD
+    # emit the LAST conv's output (and run its BN) in grouped-concat
+    # order — lets the caller's residual add against a folded concat
+    # skip the regroup3 activation permute
+    out_groups: Optional[Sequence[int]] = None
     hebb: Optional[HebbSpec] = None
     init_type: str = "kaiming"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(fold=FOLD, hebb=self.hebb, init_type=self.init_type,
+        f = tuple(self.fold)
+        kw = dict(fold=f, hebb=self.hebb, init_type=self.init_type,
                   dtype=self.dtype)
+        pf = s2d3d.prodf(f)
         groups = tuple(self.in_groups)
         for i in range(self.n):
-            x = FoldedHConv3(self.features, 5, groups,
+            last = i == self.n - 1
+            og = (tuple(self.out_groups)
+                  if last and self.out_groups is not None else None)
+            x = FoldedHConv3(self.features, 5, groups, out_groups=og,
                              name=f"conv{i + 1}", **kw)(x, train)
-            x = FoldedBatchNorm3(PF, dtype=self.dtype,
+            x = FoldedBatchNorm3(pf, groups=og, dtype=self.dtype,
                                  name=f"bn{i + 1}")(x, train)
             x = nn.elu(x)
             groups = (self.features,)
         return x
+
+
+class UpTransitionOpsFolded(nn.Module):
+    """UpTransition (vnet.py:107-128) at a MID level whose residual
+    LUConv stack runs space-to-depth folded: the transpose conv, BN,
+    dropout, concat and residual add are the plain unfolded code, and
+    only the 5^3 conv stack (the measured backward sink —
+    scripts/microbench_bwd3d.py: 64->64 @48^3 fwd+dx+dw 9.3 -> 3.4 ms
+    at fold (2,2,1)) is folded.  Same param tree as UpTransition."""
+
+    out_features: int
+    n_convs: int
+    fold: Sequence[int] = (2, 2, 1)
+    hebb: Optional[HebbSpec] = None
+    init_type: str = "kaiming"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        from ..hebb.layers import HConvTranspose
+        from .vnet import _bn
+
+        kw = dict(hebb=self.hebb, init_type=self.init_type,
+                  dtype=self.dtype)
+        skip = nn.Dropout(0.5, broadcast_dims=(1, 2, 3),
+                          deterministic=not train)(skip)
+        up = HConvTranspose(self.out_features // 2, kernel_size=(2, 2, 2),
+                            strides=2, name="up_conv", **kw)(x, train)
+        up = nn.elu(_bn(self, up, train, "bn1", self.dtype))
+        xcat = jnp.concatenate([up, skip], axis=-1)
+        f = tuple(self.fold)
+        out = FoldedLUConvStack(self.out_features, self.n_convs,
+                                (self.out_features,), fold=f, name="ops",
+                                **kw)(s2d3d.fold3(xcat, f), train)
+        return nn.elu(s2d3d.unfold3(out, f) + xcat)
+
+
+class DownTransitionOpsFolded(nn.Module):
+    """DownTransition (vnet.py:85-104) at a MID level with only the
+    LUConv stack folded (see UpTransitionOpsFolded).  Same param tree."""
+
+    out_features: int
+    n_convs: int
+    fold: Sequence[int] = (2, 2, 1)
+    hebb: Optional[HebbSpec] = None
+    init_type: str = "kaiming"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ..hebb.layers import HConv
+        from .vnet import _bn
+
+        kw = dict(hebb=self.hebb, init_type=self.init_type,
+                  dtype=self.dtype)
+        down = HConv(self.out_features, kernel_size=(2, 2, 2), strides=2,
+                     name="down_conv", **kw)(x, train)
+        down = nn.elu(_bn(self, down, train, "bn1", self.dtype))
+        f = tuple(self.fold)
+        out = FoldedLUConvStack(self.out_features, self.n_convs,
+                                (self.out_features,), fold=f, name="ops",
+                                **kw)(s2d3d.fold3(down, f), train)
+        return nn.elu(s2d3d.unfold3(out, f) + down)
 
 
 class FoldedInputTransition(nn.Module):
@@ -146,10 +219,16 @@ class UpTransitionFolded(nn.Module):
                                    **kw)(x, train)
         up = nn.elu(FoldedBatchNorm3(PF, dtype=self.dtype,
                                      name="bn1")(up, train))
-        xcat = s2d3d.regroup3(jnp.concatenate([up, skip_f], axis=-1),
-                              (half, skip_f.shape[-1] // PF), FOLD)
+        # keep the concat in GROUPED order and make the stack emit its
+        # output in the same grouped order (free kernel-side permute,
+        # s2d3d.group_out_perm) — the regroup3 activation permute this
+        # replaces cost ~6 ms fwd+bwd on the v5e (r4 trace: 3.8 ms
+        # backward 'split' alone).  The block's OUTPUT is therefore in
+        # grouped (half, half) order; out_tr consumes it via in_groups.
+        g = (half, skip_f.shape[-1] // PF)
+        xcat = jnp.concatenate([up, skip_f], axis=-1)
         out = FoldedLUConvStack(self.out_features, self.n_convs,
-                                (self.out_features,), name="ops",
+                                g, out_groups=g, name="ops",
                                 **kw)(xcat, train)
         return nn.elu(out + xcat)
 
@@ -159,6 +238,9 @@ class OutputTransitionFolded(nn.Module):
     UNFOLDED logits."""
 
     n_cls: int
+    # group structure of the folded input (up_tr32 now emits grouped
+    # (half, half) order); None = standard single-group
+    in_groups: Optional[Sequence[int]] = None
     hebb: Optional[HebbSpec] = None
     init_type: str = "kaiming"
     dtype: Optional[jnp.dtype] = None
@@ -167,7 +249,9 @@ class OutputTransitionFolded(nn.Module):
     def __call__(self, xf, train: bool = False):
         kw = dict(fold=FOLD, hebb=self.hebb, init_type=self.init_type,
                   dtype=self.dtype)
-        out = FoldedHConv3(self.n_cls, 5, (xf.shape[-1] // PF,),
+        groups = (tuple(self.in_groups) if self.in_groups is not None
+                  else (xf.shape[-1] // PF,))
+        out = FoldedHConv3(self.n_cls, 5, groups,
                            name="conv1", **kw)(xf, train)
         out = nn.elu(FoldedBatchNorm3(PF, dtype=self.dtype,
                                       name="bn1")(out, train))
@@ -193,8 +277,8 @@ class VNetS2D(nn.Module):
         out16f = FoldedInputTransition(name="in_tr", **kw)(x, train)
         out32 = DownTransitionFromFolded(32, 1, name="down_tr32",
                                          **kw)(out16f, train)
-        out64 = DownTransition(64, 2, name="down_tr64", **kw)(out32,
-                                                              train)
+        out64 = DownTransitionOpsFolded(64, 2, name="down_tr64",
+                                        **kw)(out32, train)
         out128 = DownTransition(128, 3, name="down_tr128", **kw)(out64,
                                                                  train)
         out256 = DownTransition(256, 2, name="down_tr256", **kw)(out128,
@@ -203,13 +287,13 @@ class VNetS2D(nn.Module):
                                                           train)
         out = UpTransition(128, 2, name="up_tr128", **kw)(out, out64,
                                                           train)
-        out = UpTransition(64, 1, name="up_tr64", **kw)(out, out32,
-                                                        train)
+        out = UpTransitionOpsFolded(64, 1, name="up_tr64", **kw)(
+            out, out32, train)
         out = UpTransitionFolded(32, 1, name="up_tr32", **kw)(out,
                                                               out16f,
                                                               train)
-        return OutputTransitionFolded(self.n_cls, name="out_tr",
-                                      **kw)(out, train)
+        return OutputTransitionFolded(self.n_cls, in_groups=(16, 16),
+                                      name="out_tr", **kw)(out, train)
 
 
 class VNetDecoderFolded(nn.Module):
@@ -231,13 +315,13 @@ class VNetDecoderFolded(nn.Module):
                                                           train)
         out = UpTransition(128, 2, name="up_tr128", **kw)(out, out64,
                                                           train)
-        out = UpTransition(64, 1, name="up_tr64", **kw)(out, out32,
-                                                        train)
+        out = UpTransitionOpsFolded(64, 1, name="up_tr64", **kw)(
+            out, out32, train)
         out = UpTransitionFolded(32, 1, name="up_tr32", **kw)(out,
                                                               out16f,
                                                               train)
-        return OutputTransitionFolded(self.n_cls, name="out_tr",
-                                      **kw)(out, train)
+        return OutputTransitionFolded(self.n_cls, in_groups=(16, 16),
+                                      name="out_tr", **kw)(out, train)
 
 
 class VNetCCTS2D(nn.Module):
@@ -262,8 +346,8 @@ class VNetCCTS2D(nn.Module):
         out16f = FoldedInputTransition(name="in_tr", **kw)(x, train)
         out32 = DownTransitionFromFolded(32, 1, name="down_tr32",
                                          **kw)(out16f, train)
-        out64 = DownTransition(64, 2, name="down_tr64", **kw)(out32,
-                                                              train)
+        out64 = DownTransitionOpsFolded(64, 2, name="down_tr64",
+                                        **kw)(out32, train)
         out128 = DownTransition(128, 3, name="down_tr128", **kw)(out64,
                                                                  train)
         out256 = DownTransition(256, 2, name="down_tr256", **kw)(out128,
@@ -306,8 +390,8 @@ class VNetDTCS2D(nn.Module):
         out16f = FoldedInputTransition(name="in_tr", **kw)(x, train)
         out32 = DownTransitionFromFolded(32, 1, name="down_tr32",
                                          **kw)(out16f, train)
-        out64 = DownTransition(64, 2, name="down_tr64", **kw)(out32,
-                                                              train)
+        out64 = DownTransitionOpsFolded(64, 2, name="down_tr64",
+                                        **kw)(out32, train)
         out128 = DownTransition(128, 3, name="down_tr128", **kw)(out64,
                                                                  train)
         out256 = DownTransition(256, 2, name="down_tr256", **kw)(out128,
@@ -316,13 +400,16 @@ class VNetDTCS2D(nn.Module):
                                                           train)
         out = UpTransition(128, 2, name="up_tr128", **kw)(out, out64,
                                                           train)
-        out = UpTransition(64, 1, name="up_tr64", **kw)(out, out32,
-                                                        train)
+        out = UpTransitionOpsFolded(64, 1, name="up_tr64", **kw)(
+            out, out32, train)
         out = UpTransitionFolded(32, 1, name="up_tr32", **kw)(out,
                                                               out16f,
                                                               train)
-        sdf = jnp.tanh(OutputTransitionFolded(self.n_cls, name="out_sdf",
+        sdf = jnp.tanh(OutputTransitionFolded(self.n_cls,
+                                              in_groups=(16, 16),
+                                              name="out_sdf",
                                               **kw)(out, train))
-        seg = OutputTransitionFolded(self.n_cls, name="out_seg",
+        seg = OutputTransitionFolded(self.n_cls, in_groups=(16, 16),
+                                     name="out_seg",
                                      **kw)(out, train)
         return sdf, seg

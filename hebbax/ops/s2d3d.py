@@ -216,6 +216,25 @@ def fold_down_kernel3(w, f):
     return wt.reshape(sz, sy, sx, pf * ci, co), strides
 
 
+def group_out_perm(co, out_groups, f):
+    """Index array permuting a folded conv's OUTPUT channel axis from
+    standard subpixel-major order (d*Co + c) into grouped-concat order
+    ([(d, c in g0) | (d, c in g1) | ...]) — the layout of a folded
+    concat.  Applying this to the folded KERNEL (and folded bias) is
+    free at trace time and lets a residual add against a folded concat
+    skip the :func:`regroup3` activation permute entirely (measured
+    3.8 ms backward split on the VNet up_tr32 level)."""
+    assert sum(out_groups) == co, (out_groups, co)
+    pf = prodf(f)
+    perm, c0 = [], 0
+    for g in out_groups:
+        for d in range(pf):
+            for c in range(g):
+                perm.append(d * co + c0 + c)
+        c0 += g
+    return np.asarray(perm, np.int32)
+
+
 def regroup3(x, groups, f):
     """Grouped folded concat -> STANDARD folded channel order.
 

@@ -61,12 +61,12 @@ def fold_n(x, depth):
 
 
 def head_convs(depth):
-    """The 3 head convs (16->16, 16->8, 8->2) folded `depth` times.
-    Returns (apply(x) -> scalar-ish y, x0, orig_flops)."""
+    """The 3 head convs (MLPHead, unet.py:449-455: 16->64, 64->32,
+    32->2) folded `depth` times.  Returns (apply, x0, orig_flops)."""
     rs = np.random.RandomState(0)
     sz = 128
     ws = []
-    for ci, co in ((16, 16), (16, 8), (8, 2)):
+    for ci, co in ((16, 64), (64, 32), (32, 2)):
         w = jnp.asarray(rs.rand(3, 3, ci, co) * 0.1, DTYPE)
         for d in range(depth):
             w = s2d.fold_conv_kernel(w, (ci * 4 ** d,))
@@ -84,7 +84,7 @@ def head_convs(depth):
             y = jnp.maximum(y, 0)
         return y
 
-    flops = 2 * sz * sz * BATCH * 9 * (16 * 16 + 16 * 8 + 8 * 2)
+    flops = 2 * sz * sz * BATCH * 9 * (16 * 64 + 64 * 32 + 32 * 2)
     return apply, x0, flops
 
 
