@@ -223,7 +223,7 @@ def run_infer_metric(ctrl=None, net=None, dtype_name=None, ctrl_tag=""):
     net = net or os.environ.get("BENCH3D_NET", "unet3d")
     dtype_name = dtype_name or os.environ.get("BENCH3D_DTYPE", "bfloat16")
     model, img, variables = _build(net, dtype_name)
-    bs = int(os.environ.get("BENCH3D_INFER_BS", "4"))
+    bs = int(os.environ.get("BENCH3D_INFER_BS", "8"))
     inf_vars = {"params": variables["params"]}
     if variables.get("batch_stats") is not None:
         inf_vars["batch_stats"] = variables["batch_stats"]

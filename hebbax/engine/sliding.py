@@ -39,7 +39,7 @@ def grid_locations(vol_shape: Sequence[int], patch_size: Sequence[int],
 def make_device_slider(forward: Callable, vol_shape: Tuple[int, int, int],
                        patch_size: Tuple[int, int, int],
                        overlap: Tuple[int, int, int], n_cls: int,
-                       batch_size: int = 4, mesh=None,
+                       batch_size: int = 8, mesh=None,
                        finalize: str = None):
     """Fully device-resident sliding window: the whole patch loop runs
     inside ONE jitted function (lax.scan over patch batches, dynamic-slice
@@ -169,7 +169,7 @@ _SLIDER_CACHE = {}
 
 def slide_window_inference_device(forward: Callable, volume: np.ndarray,
                                   patch_size, overlap, n_cls: int,
-                                  batch_size: int = 4,
+                                  batch_size: int = 8,
                                   fwd_args=(), mesh=None,
                                   finalize: str = None,
                                   threshold: float = None,
@@ -222,7 +222,7 @@ def slide_window_inference_device(forward: Callable, volume: np.ndarray,
 def slide_window_inference(forward: Callable, volume: np.ndarray,
                            patch_size: Tuple[int, int, int],
                            overlap: Tuple[int, int, int],
-                           n_cls: int, batch_size: int = 4) -> np.ndarray:
+                           n_cls: int, batch_size: int = 8) -> np.ndarray:
     """Aggregate per-patch logits over a volume.
 
     forward(patches (B, *patch, 1) float32) -> logits (B, *patch, C),
