@@ -44,7 +44,7 @@ def base_parser_2d(defaults=None):
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("-i", "--display_iter", default=1, type=int)
     p.add_argument("--validate_iter", default=2, type=int)
-    p.add_argument("-n", "--network", default="unet", type=str)
+    p.add_argument("-n", "--network", default="unet_s2d", type=str)  # s2d: exact-parity TPU fast path (tests/test_s2d.py); reference default: unet
     p.add_argument("--debug", default=True)
     p.add_argument("--init_weights", default="kaiming", type=str)
     p.add_argument("--num_workers", default=8, type=int)
@@ -89,6 +89,24 @@ def hebbian_finetune_spec(meta):
     hp = dict(meta["hebb_params"])
     hp["alpha"] = 0.0
     return HebbSpec.from_dict(hp, exclude=meta.get("excluded_layers") or ())
+
+
+def pretrain_base_network(name):
+    """Map a folded (s2d) network name to its unfolded base for Hebbian
+    pretraining.  The folded variants share the param tree exactly
+    (tests/test_s2d*.py), so checkpoints hand off either way — but the
+    Hebbian delta path does not fold and is measured SLOWER folded
+    (unet3d_s2d 108.6 ms vs unet3d 90.7 bf16; same effect in 2D — see
+    CLAUDE.md).  Fine-tuning may still use the folded variant."""
+    base = name.replace("_s2d_batched", "").replace("_s2d", "")
+    if base != name:
+        from ..models import available_networks
+        if base in available_networks():
+            print(f"[hebbax] hebbian pretrain: running the unfolded "
+                  f"'{base}' (param tree identical to '{name}'; the "
+                  f"delta path does not fold — measured slower)")
+            return base
+    return name
 
 
 def reinit_excluded(loaded_params, fresh_params, exclude):

@@ -40,7 +40,7 @@ def base_parser_3d(defaults=None):
     p.add_argument("--queue_length", default=48, type=int)
     p.add_argument("--samples_per_volume_train", default=4, type=int)
     p.add_argument("--samples_per_volume_val", default=8, type=int)
-    p.add_argument("-n", "--network", default="unet3d", type=str)
+    p.add_argument("-n", "--network", default="unet3d_s2d", type=str)  # s2d: exact-parity TPU fast path (tests/test_unet3d_s2d.py); reference default: unet3d
     p.add_argument("--debug", default=False)
     p.add_argument("--init_weights", default="kaiming", type=str)
     p.add_argument("--num_workers", default=8, type=int)

@@ -38,6 +38,7 @@ def add_args(parser):
 
 
 def build(args):
+    args.network = common.pretrain_base_network(args.network)
     cfg = dataset_cfg(args.dataset_name)
     paths = make_run_dir(
         args.path_root_exp, args.path_dataset, "hebbian_unsup",

@@ -32,6 +32,7 @@ def add_args(parser):
 def build(args):
     import os
 
+    args.network = common.pretrain_base_network(args.network)
     cfg = dataset_cfg(args.dataset_name)
     n_cls = cfg["NUM_CLASSES"]
     run = os.path.join(

@@ -38,7 +38,7 @@ def build_parser():
     p.add_argument("--thr_interval", default=THR_INTERVAL, type=float)
     p.add_argument("-b", "--batch_size", default=2, type=int)
     p.add_argument("--if_mask", default=True)
-    p.add_argument("-n", "--network", default="unet", type=str)
+    p.add_argument("-n", "--network", default="unet_s2d", type=str)  # s2d: exact-parity TPU fast path (tests/test_s2d.py); reference default: unet
     p.add_argument("--hebbian_pretrain", default=None)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--num_workers", default=8, type=int)

@@ -42,7 +42,7 @@ def build_parser():
     p.add_argument("-b", "--batch_size", default=8, type=int,
                help="slider patch batch; 8 aligns the TPU "
                     "sublane tile (measured 1.5x vs 4)")
-    p.add_argument("-n", "--network", default="unet3d")
+    p.add_argument("-n", "--network", default="unet3d_s2d")  # s2d: exact-parity TPU fast path; reference default: unet3d
     p.add_argument("--hebbian_pretrain", default=False)
     p.add_argument("--fill_hole_thr", default=500, type=int)
     p.add_argument("--postprocessing", default=False)

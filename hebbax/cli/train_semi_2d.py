@@ -23,8 +23,11 @@ from ..ops.losses import segmentation_loss
 from ..utils.rundir import RunPaths, dump_config
 from . import common
 
-ALGO_NETWORK_DEFAULT = {"em": "unet", "uamt": "unet", "cps": "unet",
-                        "urpc": "unet_urpc", "cct": "unet_cct"}
+# s2d: exact-parity TPU fast paths (tests/test_s2d.py); reference
+# defaults are the unfolded unet/unet_urpc/unet_cct
+ALGO_NETWORK_DEFAULT = {"em": "unet_s2d", "uamt": "unet_s2d",
+                        "cps": "unet_s2d", "urpc": "unet_urpc_s2d",
+                        "cct": "unet_cct_s2d"}
 
 
 def add_args(parser, algo):

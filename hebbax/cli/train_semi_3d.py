@@ -20,9 +20,11 @@ from ..utils.rundir import dump_config
 from . import common, common3d
 from .train_sup_3d import run_dir_3d
 
-ALGO_NETWORK_DEFAULT = {"em": "unet3d", "uamt": "unet3d", "cps": "unet3d",
-                        "urpc": "unet3d_urpc", "cct": "unet3d_cct",
-                        "dtc": "unet3d_dtc"}
+# s2d: exact-parity TPU fast paths (tests/test_unet3d_s2d.py etc.);
+# reference defaults are the unfolded unet3d family
+ALGO_NETWORK_DEFAULT = {"em": "unet3d_s2d", "uamt": "unet3d_s2d",
+                        "cps": "unet3d_s2d", "urpc": "unet3d_urpc_s2d",
+                        "cct": "unet3d_cct_s2d", "dtc": "unet3d_dtc_s2d"}
 
 
 def add_args(parser, algo):

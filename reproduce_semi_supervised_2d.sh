@@ -10,6 +10,13 @@ REPS=10
 START_REP=0
 GPU=0
 
+# TPU fast path: s2d-folded exact-parity variants of the reference nets
+# (same param tree, tests/test_s2d*.py); set NET=unet etc. for the
+# unfolded originals.
+NET=unet_s2d
+NET_URPC=unet_urpc_s2d
+NET_CCT=unet_cct_s2d
+
 BATCH_SIZE=2
 EVAL_BATCH_SIZE=2
 OPTIMIZER=sgd
@@ -39,24 +46,24 @@ EXP_ROOT=./runs
 for DATASET in ${DATASETS[@]}; do
     for REGIME in ${REGIMES[@]}; do
         for REP in $(seq $(( $START_REP )) $(( $REPS - 1 ))); do
-      python train_semi_EM_2d.py --dataset_name $DATASET --network unet --path_dataset $DATA_ROOT/$DATASET --path_root_exp $EXP_ROOT --regime $REGIME --batch_size $BATCH_SIZE --optimizer $OPTIMIZER --seed $REP --validate_iter $VALIDATE_ITER --device $GPU --lr $LR --loss dice --unsup_weight $UNSUP_WEIGHT
-      python test_2d.py --dataset_name $DATASET --network unet --batch_size $EVAL_BATCH_SIZE --path_dataset $DATA_ROOT/$DATASET --best JI --path_exp $EXP_ROOT/$DATASET/semi_sup/kaiming_em_unet/inv_temp-1/regime-$REGIME/run-$REP --device $GPU
+      python train_semi_EM_2d.py --dataset_name $DATASET --network $NET --path_dataset $DATA_ROOT/$DATASET --path_root_exp $EXP_ROOT --regime $REGIME --batch_size $BATCH_SIZE --optimizer $OPTIMIZER --seed $REP --validate_iter $VALIDATE_ITER --device $GPU --lr $LR --loss dice --unsup_weight $UNSUP_WEIGHT
+      python test_2d.py --dataset_name $DATASET --network $NET --batch_size $EVAL_BATCH_SIZE --path_dataset $DATA_ROOT/$DATASET --best JI --path_exp $EXP_ROOT/$DATASET/semi_sup/kaiming_em_${NET}/inv_temp-1/regime-$REGIME/run-$REP --device $GPU
         done
         for REP in $(seq $(( $START_REP )) $(( $REPS - 1 ))); do
-      python train_semi_UAMT_2d.py --dataset_name $DATASET --network unet --path_dataset $DATA_ROOT/$DATASET --path_root_exp $EXP_ROOT --regime $REGIME --batch_size $BATCH_SIZE --optimizer $OPTIMIZER --seed $REP --validate_iter $VALIDATE_ITER --device $GPU --lr $LR --loss dice --unsup_weight $UNSUP_WEIGHT
-      python test_2d.py --dataset_name $DATASET --network unet --batch_size $EVAL_BATCH_SIZE --path_dataset $DATA_ROOT/$DATASET --best JI --path_exp $EXP_ROOT/$DATASET/semi_sup/kaiming_uamt_unet/inv_temp-1/regime-$REGIME/run-$REP --device $GPU
+      python train_semi_UAMT_2d.py --dataset_name $DATASET --network $NET --path_dataset $DATA_ROOT/$DATASET --path_root_exp $EXP_ROOT --regime $REGIME --batch_size $BATCH_SIZE --optimizer $OPTIMIZER --seed $REP --validate_iter $VALIDATE_ITER --device $GPU --lr $LR --loss dice --unsup_weight $UNSUP_WEIGHT
+      python test_2d.py --dataset_name $DATASET --network $NET --batch_size $EVAL_BATCH_SIZE --path_dataset $DATA_ROOT/$DATASET --best JI --path_exp $EXP_ROOT/$DATASET/semi_sup/kaiming_uamt_${NET}/inv_temp-1/regime-$REGIME/run-$REP --device $GPU
         done
         for REP in $(seq $(( $START_REP )) $(( $REPS - 1 ))); do
-      python train_semi_CPS_2d.py --dataset_name $DATASET --network unet --path_dataset $DATA_ROOT/$DATASET --path_root_exp $EXP_ROOT --regime $REGIME --batch_size $BATCH_SIZE --optimizer $OPTIMIZER --seed $REP --validate_iter $VALIDATE_ITER --device $GPU --lr $LR --loss dice --unsup_weight $UNSUP_WEIGHT
-      python test_2d.py --dataset_name $DATASET --network unet --batch_size $EVAL_BATCH_SIZE --path_dataset $DATA_ROOT/$DATASET --best JI --path_exp $EXP_ROOT/$DATASET/semi_sup/kaiming_cps_unet/inv_temp-1/regime-$REGIME/run-$REP --device $GPU
+      python train_semi_CPS_2d.py --dataset_name $DATASET --network $NET --path_dataset $DATA_ROOT/$DATASET --path_root_exp $EXP_ROOT --regime $REGIME --batch_size $BATCH_SIZE --optimizer $OPTIMIZER --seed $REP --validate_iter $VALIDATE_ITER --device $GPU --lr $LR --loss dice --unsup_weight $UNSUP_WEIGHT
+      python test_2d.py --dataset_name $DATASET --network $NET --batch_size $EVAL_BATCH_SIZE --path_dataset $DATA_ROOT/$DATASET --best JI --path_exp $EXP_ROOT/$DATASET/semi_sup/kaiming_cps_${NET}/inv_temp-1/regime-$REGIME/run-$REP --device $GPU
         done
         for REP in $(seq $(( $START_REP )) $(( $REPS - 1 ))); do
-      python train_semi_URPC_2d.py --dataset_name $DATASET --network unet_urpc --path_dataset $DATA_ROOT/$DATASET --path_root_exp $EXP_ROOT --regime $REGIME --batch_size $BATCH_SIZE --optimizer $OPTIMIZER --seed $REP --validate_iter $VALIDATE_ITER --device $GPU --lr $LR --loss dice --unsup_weight $UNSUP_WEIGHT
-      python test_2d.py --dataset_name $DATASET --network unet_urpc --batch_size $EVAL_BATCH_SIZE --path_dataset $DATA_ROOT/$DATASET --best JI --path_exp $EXP_ROOT/$DATASET/semi_sup/kaiming_urpc_unet_urpc/inv_temp-1/regime-$REGIME/run-$REP --device $GPU
+      python train_semi_URPC_2d.py --dataset_name $DATASET --network $NET_URPC --path_dataset $DATA_ROOT/$DATASET --path_root_exp $EXP_ROOT --regime $REGIME --batch_size $BATCH_SIZE --optimizer $OPTIMIZER --seed $REP --validate_iter $VALIDATE_ITER --device $GPU --lr $LR --loss dice --unsup_weight $UNSUP_WEIGHT
+      python test_2d.py --dataset_name $DATASET --network $NET_URPC --batch_size $EVAL_BATCH_SIZE --path_dataset $DATA_ROOT/$DATASET --best JI --path_exp $EXP_ROOT/$DATASET/semi_sup/kaiming_urpc_${NET_URPC}/inv_temp-1/regime-$REGIME/run-$REP --device $GPU
         done
         for REP in $(seq $(( $START_REP )) $(( $REPS - 1 ))); do
-      python train_semi_CCT_2d.py --dataset_name $DATASET --network unet_cct --path_dataset $DATA_ROOT/$DATASET --path_root_exp $EXP_ROOT --regime $REGIME --batch_size $BATCH_SIZE --optimizer $OPTIMIZER --seed $REP --validate_iter $VALIDATE_ITER --device $GPU --lr $LR --loss dice --unsup_weight $UNSUP_WEIGHT
-      python test_2d.py --dataset_name $DATASET --network unet_cct --batch_size $EVAL_BATCH_SIZE --path_dataset $DATA_ROOT/$DATASET --best JI --path_exp $EXP_ROOT/$DATASET/semi_sup/kaiming_cct_unet_cct/inv_temp-1/regime-$REGIME/run-$REP --device $GPU
+      python train_semi_CCT_2d.py --dataset_name $DATASET --network $NET_CCT --path_dataset $DATA_ROOT/$DATASET --path_root_exp $EXP_ROOT --regime $REGIME --batch_size $BATCH_SIZE --optimizer $OPTIMIZER --seed $REP --validate_iter $VALIDATE_ITER --device $GPU --lr $LR --loss dice --unsup_weight $UNSUP_WEIGHT
+      python test_2d.py --dataset_name $DATASET --network $NET_CCT --batch_size $EVAL_BATCH_SIZE --path_dataset $DATA_ROOT/$DATASET --best JI --path_exp $EXP_ROOT/$DATASET/semi_sup/kaiming_cct_${NET_CCT}/inv_temp-1/regime-$REGIME/run-$REP --device $GPU
         done
     done
 done

@@ -47,6 +47,12 @@ def test_hebbian_pretrain_urpc_backbone(tiny_dataset, tmp_path, network):
         "--hebb_mode", "swta_t", "--hebb_inv_temp", "20",
     ])
     trainer = pre.build(args)
+    # folded (s2d) nets are remapped to their unfolded base for Hebbian
+    # pretraining (common.pretrain_base_network): the delta path does
+    # not fold and is measured slower folded; the param trees are
+    # identical so fine-tune handoff still accepts either variant
+    assert args.network == "unet_urpc"
+    assert "unet_urpc_swta_t" in trainer.paths.run
     for ld in trainer.loaders.values():
         ld.dataset.size = (32, 32)
     best = trainer.run()

@@ -99,7 +99,7 @@ def test_train_sup_2d_end_to_end(tiny_dataset, tmp_path):
     assert os.path.exists(os.path.join(run, "train_log.csv"))
     assert os.path.exists(os.path.join(run, "val_log.csv"))
     cfgd = json.load(open(os.path.join(run, "config.json")))
-    assert cfgd["network"] == "unet"
+    assert cfgd["network"] == "unet_s2d"  # shipped default: s2d fast path
     assert 0.0 <= best[1] <= 1.0
 
     import pandas as pd
