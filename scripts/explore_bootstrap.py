@@ -246,14 +246,22 @@ def main():
     p.add_argument("--n_train", default=64, type=int)
     p.add_argument("--n_val", default=24, type=int)
     p.add_argument("--data", default="texture")
+    p.add_argument("--noise", default=0.5, type=float,
+                   help="texture noise level (std in units of the "
+                        "grating amplitude); 0.5 = r3 default")
+    p.add_argument("--period", default=5.0, type=float)
     p.add_argument("--out", default="/tmp/explore_bootstrap.json")
     p.add_argument("--dataroot", default="/tmp/parity_hebb_r4")
     args = p.parse_args()
 
     droot = (f"{args.dataroot}_{args.data}_{args.size}_{args.n_train}"
              f"_{args.n_val}")
+    genkw = {}
+    if args.data == "texture" and (args.noise != 0.5 or args.period != 5.0):
+        genkw = {"noise": args.noise, "period": args.period}
+        droot += f"_n{args.noise}_p{args.period}"
     arrays = make_data(droot, args.size, n_train=args.n_train,
-                       n_val=args.n_val, kind=args.data)
+                       n_val=args.n_val, kind=args.data, **genkw)
     fn = hebbax_explore if args.framework == "hebbax" else torch_explore
     res = {"config": vars(args), "result": fn(arrays, args)}
     with open(args.out, "w") as f:

@@ -46,13 +46,17 @@ def load_module(path, name):
     return m
 
 
-def make_data(out, size, n_train=32, n_val=16, seed=0, kind="blob"):
+def make_data(out, size, n_train=32, n_val=16, seed=0, kind="blob",
+              **genkw):
+    """genkw (e.g. noise=, period= for kind='texture') forwards to the
+    generator — callers must key `out` by those values, since an
+    existing dir is reused as-is."""
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     import make_synth_data
     if not os.path.exists(os.path.join(out, "train", "image")):
         gen = (make_synth_data.make_2d_texture if kind == "texture"
                else make_synth_data.make_2d)
-        gen(out, n_train, n_val, size, seed=seed)
+        gen(out, n_train, n_val, size, seed=seed, **genkw)
 
     from hebbax.config.datasets import dataset_cfg
     from hebbax.data.dataset2d import SegDataset2D as Dataset2D

@@ -54,7 +54,7 @@ def labeled_subset(n, frac=0.2, seed=7):
 
 # ---------------------------------------------------------------- torch
 def torch_cycle(arrays, pre_epochs, ft_epochs, bs, lr, seed=0,
-                frac=0.2):
+                frac=0.2, k=50):
     import torch
 
     u = load_module("/root/reference/models/networks_2d/unet.py",
@@ -67,6 +67,7 @@ def torch_cycle(arrays, pre_epochs, ft_epochs, bs, lr, seed=0,
     va_x, va_y = arrays["val"]
     lab = labeled_subset(len(tr_x), frac)
     criterion = ref_loss("dice", False)
+    HEBB = {"mode": "swta_t", "k": k, "w_nrm": True, "alpha": 1.0}
 
     def to_nchw(x):
         return torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
@@ -156,7 +157,7 @@ def torch_cycle(arrays, pre_epochs, ft_epochs, bs, lr, seed=0,
 
 # --------------------------------------------------------------- hebbax
 def hebbax_cycle(arrays, pre_epochs, ft_epochs, bs, lr, seed=0,
-                 network="unet", frac=0.2):
+                 network="unet", frac=0.2, k=50):
     import jax
     import jax.numpy as jnp
     import optax
@@ -211,7 +212,7 @@ def hebbax_cycle(arrays, pre_epochs, ft_epochs, bs, lr, seed=0,
         return best, best_state
 
     # 1. pretrain
-    spec = HebbSpec(mode="swta_t", k=50.0, w_nrm=True, alpha=1.0,
+    spec = HebbSpec(mode="swta_t", k=float(k), w_nrm=True, alpha=1.0,
                     exclude=tuple(EXCLUDE))
     model = get_network(network, 3, 2, hebb=spec)
     rngs = {"params": jax.random.PRNGKey(seed),
@@ -226,7 +227,7 @@ def hebbax_cycle(arrays, pre_epochs, ft_epochs, bs, lr, seed=0,
                             pre_epochs)
 
     # 2. fine-tune from pretrain (alpha=0 weight-norm forward, fresh head)
-    spec0 = HebbSpec(mode="swta_t", k=50.0, w_nrm=True, alpha=0.0,
+    spec0 = HebbSpec(mode="swta_t", k=float(k), w_nrm=True, alpha=0.0,
                      exclude=tuple(EXCLUDE))
     ft_model = get_network(network, 3, 2, hebb=spec0)
     rngs_ft = {"params": jax.random.PRNGKey(seed + 10),
@@ -277,23 +278,34 @@ def main():
     p.add_argument("--data", default="blob", choices=("blob", "texture"),
                    help="'texture' = orientation-only cue, no intensity "
                         "cue: the regime with bootstrap headroom")
+    p.add_argument("--noise", default=0.5, type=float,
+                   help="texture noise level; r4 exploration found 0.5 "
+                        "leaves every cell at the trivial-Dice floor")
+    p.add_argument("--period", default=5.0, type=float)
+    p.add_argument("--hebb_k", default=50, type=int)
     p.add_argument("--skip_hebbax", action="store_true")
     args = p.parse_args()
 
     # key the dataset dir by its config: make_data reuses an existing
     # dir, so changing n_train/size must not silently serve stale data
     out = f"{args.out}_{args.data}_{args.size}_{args.n_train}_{args.n_val}"
+    genkw = {}
+    if args.data == "texture" and (args.noise != 0.5 or args.period != 5.0):
+        genkw = {"noise": args.noise, "period": args.period}
+        out += f"_n{args.noise}_p{args.period}"
     arrays = make_data(out, args.size, n_train=args.n_train,
-                       n_val=args.n_val, kind=args.data)
+                       n_val=args.n_val, kind=args.data, **genkw)
     res = {"config": vars(args)}
     if not args.skip_hebbax:
         res["hebbax"] = hebbax_cycle(
             arrays, args.pre_epochs, args.ft_epochs, args.batch_size,
-            args.lr, seed=args.seed, frac=args.label_frac)
+            args.lr, seed=args.seed, frac=args.label_frac,
+            k=args.hebb_k)
     if not args.skip_torch:
         res["torch_reference"] = torch_cycle(
             arrays, args.pre_epochs, args.ft_epochs, args.batch_size,
-            args.lr, seed=args.seed, frac=args.label_frac)
+            args.lr, seed=args.seed, frac=args.label_frac,
+            k=args.hebb_k)
     print(json.dumps(res, indent=1))
 
 
