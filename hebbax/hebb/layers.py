@@ -180,12 +180,19 @@ class FoldedHConv(nn.Module):
     stride-1 forward convs (the folded call sites) are supported.
     Hebbian modes: swta / hpca (the _t modes resolve to these on
     forward convs; no folded site is a transpose conv).
+
+    ``depth`` folds more than once: the input/output carry ``4**depth``
+    subpixel blocks per original channel (a 4x4 spatial block at
+    depth=2) and the kernel fold composes — ``fold_conv_kernel`` of the
+    once-folded kernel is exactly the twice-folded conv, since the
+    folded operator is itself a stride-1 conv on the folded lattice.
     """
 
     features: int
     kernel_size: int
     in_groups: Sequence[int]
     use_bias: bool = True
+    depth: int = 1
     hebb: Optional[HebbSpec] = None
     init_type: str = "kaiming"
     dtype: Optional[jnp.dtype] = None
@@ -196,7 +203,8 @@ class FoldedHConv(nn.Module):
 
         k = int(self.kernel_size)
         ci = sum(self.in_groups)
-        assert x.shape[-1] == 4 * ci, (x.shape, self.in_groups)
+        assert x.shape[-1] == 4 ** self.depth * ci, \
+            (x.shape, self.in_groups, self.depth)
         kernel = self.param(
             "kernel", torch_kernel_init(self.init_type, False),
             (k, k, ci, self.features))
@@ -213,11 +221,17 @@ class FoldedHConv(nn.Module):
         x = x.astype(dtype)
 
         in_groups = tuple(int(g) for g in self.in_groups)
-        wf = s2d.fold_conv_kernel(w, in_groups)
+        wf, groups_d = w, in_groups
+        for _ in range(self.depth):
+            wf = s2d.fold_conv_kernel(wf, groups_d)
+            groups_d = tuple(4 * g for g in groups_d)
         pad = ((k // 2, k // 2),) * 2
         y = rules.conv_fwd(x, wf, (1, 1), pad)
         if bias is not None:
-            y = y + s2d.fold_bias(bias.astype(dtype))
+            b = bias.astype(dtype)
+            for _ in range(self.depth):
+                b = s2d.fold_bias(b)
+            y = y + b
 
         if spec is not None and train and spec.alpha != 0:
             mode = spec.conv_mode(False)
@@ -229,7 +243,12 @@ class FoldedHConv(nn.Module):
             x_d = jax.lax.stop_gradient(x).astype(ddt)
             y_d = jax.lax.stop_gradient(y).astype(ddt)
             co = self.features
-            if os.environ.get("HEBBAX_S2D_FOLDED_DELTA"):
+            if self.depth != 1 and len(in_groups) != 1:
+                raise NotImplementedError(
+                    "FoldedHConv delta at depth>1 supports single-group "
+                    "inputs only (the depth-2 sites are the MLP head)")
+            if os.environ.get("HEBBAX_S2D_FOLDED_DELTA") \
+                    and self.depth == 1:
                 # folded-layout wgrad: MXU-shaped but computes all 144
                 # (tap, block) slots for the 36 real ones (4x FLOPs) —
                 # measured SLOWER end-to-end than the unfolded rule
@@ -243,11 +262,16 @@ class FoldedHConv(nn.Module):
                 # unfold each group separately before re-concatenating
                 parts, off = [], 0
                 for g in in_groups:
-                    parts.append(s2d.unfold(x_d[..., off:off + 4 * g]))
-                    off += 4 * g
+                    p = x_d[..., off:off + 4 ** self.depth * g]
+                    for _ in range(self.depth):
+                        p = s2d.unfold(p)
+                    parts.append(p)
+                    off += 4 ** self.depth * g
                 xu = parts[0] if len(parts) == 1 else jnp.concatenate(
                     parts, axis=-1)
-                yu = s2d.unfold(y_d)
+                yu = y_d
+                for _ in range(self.depth):
+                    yu = s2d.unfold(yu)
                 if mode == "swta":
                     delta = rules.swta_conv_delta(w_d, xu, yu, spec.k,
                                                   (1, 1), padding=pad)

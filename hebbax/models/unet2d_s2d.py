@@ -131,11 +131,17 @@ class FoldedConvBlockReLU(nn.Module):
 
 class FoldedMLPHead(nn.Module):
     """MLPHead (unet.py:449-455) on folded tensors; returns UNFOLDED
-    logits."""
+    logits.
+
+    ``depth=2`` re-folds the (once-folded) input so the three head
+    convs run 4x4-folded — 16x the dense FLOPs but full 128-lane
+    contractions (the head's 16/64/32/2-channel convs at full
+    resolution are the worst MXU shapes left in the 2D model)."""
 
     n_cls: int
     kernel: int = 3
     multiple_layers: bool = True
+    depth: int = 1
     hebb: Optional[HebbSpec] = None
     init_type: str = "kaiming"
     dtype: Optional[jnp.dtype] = None
@@ -143,21 +149,28 @@ class FoldedMLPHead(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         ch = x.shape[-1] // 4
-        kw = dict(kernel_size=self.kernel, hebb=self.hebb,
-                  init_type=self.init_type, dtype=self.dtype)
+        for _ in range(self.depth - 1):
+            x = s2d.fold(x)
+        kw = dict(kernel_size=self.kernel, depth=self.depth,
+                  hebb=self.hebb, init_type=self.init_type,
+                  dtype=self.dtype)
+
+        def out(y):
+            for _ in range(self.depth):
+                y = s2d.unfold(y)
+            return y
+
         if not self.multiple_layers:
-            y = FoldedHConv(self.n_cls, in_groups=(ch,), name="conv_out",
-                            **kw)(x, train)
-            return s2d.unfold(y)
+            return out(FoldedHConv(self.n_cls, in_groups=(ch,),
+                                   name="conv_out", **kw)(x, train))
         x = FoldedHConv(ch * 4, in_groups=(ch,), name="conv1",
                         **kw)(x, train)
         x = FastDropout(0.5, deterministic=not train)(nn.relu(x))
         x = FoldedHConv(ch * 2, in_groups=(ch * 4,), name="conv2",
                         **kw)(x, train)
         x = FastDropout(0.5, deterministic=not train)(nn.relu(x))
-        y = FoldedHConv(self.n_cls, in_groups=(ch * 2,), name="conv_out",
-                        **kw)(x, train)
-        return s2d.unfold(y)
+        return out(FoldedHConv(self.n_cls, in_groups=(ch * 2,),
+                               name="conv_out", **kw)(x, train))
 
 
 class FoldedEncoder2D(nn.Module):
@@ -374,12 +387,16 @@ class UNetCCT2DS2D(nn.Module):
 
 
 class UNet2DS2D(nn.Module):
-    """UNet2D with space-to-depth folded top levels (see module doc)."""
+    """UNet2D with space-to-depth folded top levels (see module doc).
+
+    ``head_depth=2`` runs the 3-conv MLP head 4x4-folded (see
+    FoldedMLPHead); requires H, W % 8 == 0."""
 
     in_channels: int
     n_cls: int
     linear_probe: bool = False
     multiple_layers: bool = True
+    head_depth: int = 1
     hebb: Optional[HebbSpec] = None
     init_type: str = "kaiming"
     dtype: Optional[jnp.dtype] = None
@@ -391,5 +408,5 @@ class UNet2DS2D(nn.Module):
         feats = FoldedEncoder2D(name="encoder", **kw)(x, train)
         dec = FoldedDecoder2D(name="main_decoder", **kw)(feats, train)
         return FoldedMLPHead(self.n_cls, 1 if self.linear_probe else 3,
-                             self.multiple_layers, name="out_conv",
-                             **kw)(dec, train)
+                             self.multiple_layers, depth=self.head_depth,
+                             name="out_conv", **kw)(dec, train)

@@ -120,7 +120,11 @@ def hebbax_explore(arrays, args):
                                       keep_best=True)
         print(f"# hebbax pretrain k={k} probe: {curve}", flush=True)
         res["pretrain_probe"][str(k)] = curve
-        res["ft_from_k"][str(k)] = finetune_from(pre_vars, f"k{k}")
+        if not args.probe_only:
+            res["ft_from_k"][str(k)] = finetune_from(pre_vars, f"k{k}")
+
+    if args.probe_only:
+        return res
 
     # from-random control (k-independent)
     rnd_model = get_network("unet", 3, 2)
@@ -250,6 +254,9 @@ def main():
                    help="texture noise level (std in units of the "
                         "grating amplitude); 0.5 = r3 default")
     p.add_argument("--period", default=5.0, type=float)
+    p.add_argument("--probe_only", action="store_true",
+                   help="pretrain + probe curves only (fast diagnostic "
+                        "of whether SWTA features encode the cue)")
     p.add_argument("--out", default="/tmp/explore_bootstrap.json")
     p.add_argument("--dataroot", default="/tmp/parity_hebb_r4")
     args = p.parse_args()

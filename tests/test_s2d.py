@@ -98,6 +98,33 @@ def test_unet_s2d_eval_exact():
                                atol=2e-5)
 
 
+def test_unet_s2d_head_depth2_exact():
+    """head_depth=2 (4x4-folded MLP head) is a pure layout change:
+    same params, same outputs, same grads as the unfolded model."""
+    from hebbax.models.unet2d_s2d import UNet2DS2D
+
+    m, _ = _both_models()
+    mf2 = UNet2DS2D(3, 2, head_depth=2)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3),
+                    jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(mf2.apply(v, x, train=False)),
+        np.asarray(m.apply(v, x, train=False)), atol=2e-5)
+
+    def loss(params, model):
+        return jnp.mean(model.apply({**v, "params": params}, x,
+                                    train=False) ** 2)
+
+    g = jax.grad(loss)(v["params"], m)
+    g2 = jax.grad(loss)(v["params"], mf2)
+    for (p, a), b in zip(jax.tree_util.tree_leaves_with_path(g),
+                         jax.tree_util.tree_leaves(g2)):
+        rel = float(jnp.max(jnp.abs(a - b))
+                    / (jnp.max(jnp.abs(a)) + 1e-12))
+        assert rel < 2e-4, (jax.tree_util.keystr(p), rel)
+
+
 def test_unet_s2d_train_deltas_and_stats(monkeypatch):
     """Train-mode forward with dropout disabled: outputs, every sown
     Hebbian delta, and every BN batch stat must match."""
