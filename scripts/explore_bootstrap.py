@@ -85,7 +85,7 @@ def hebbax_explore(arrays, args):
     res = {"ft_from_k": {}, "pretrain_probe": {}}
 
     def finetune_from(pre_vars, tag):
-        spec0 = HebbSpec(mode="swta_t", k=50.0, w_nrm=True, alpha=0.0,
+        spec0 = HebbSpec(mode=args.hebb_mode, k=50.0, w_nrm=True, alpha=0.0,
                          exclude=tuple(EXCLUDE))
         ft_model = get_network("unet", 3, 2, hebb=spec0)
         rngs_ft = {"params": jax.random.PRNGKey(seed + 10),
@@ -104,7 +104,8 @@ def hebbax_explore(arrays, args):
         return curve
 
     for k in args.ks:
-        spec = HebbSpec(mode="swta_t", k=float(k), w_nrm=True, alpha=1.0,
+        spec = HebbSpec(mode=args.hebb_mode, k=float(k), w_nrm=True,
+                        alpha=1.0,
                         exclude=tuple(EXCLUDE))
         model = get_network("unet", 3, 2, hebb=spec)
         rngs = {"params": jax.random.PRNGKey(seed),
@@ -124,6 +125,24 @@ def hebbax_explore(arrays, args):
             res["ft_from_k"][str(k)] = finetune_from(pre_vars, f"k{k}")
 
     if args.probe_only:
+        # control: identical probe on FROZEN RANDOM features (alpha=0,
+        # same w_nrm forward, head-only training) — SWTA features only
+        # matter if their probe clears this
+        spec0 = HebbSpec(mode=args.hebb_mode, k=50.0, w_nrm=True, alpha=0.0,
+                         exclude=tuple(EXCLUDE))
+        model0 = get_network("unet", 3, 2, hebb=spec0)
+        rngs0 = {"params": jax.random.PRNGKey(seed),
+                 "dropout": jax.random.PRNGKey(seed + 1)}
+        v0 = model0.init(rngs0, jnp.asarray(tr_x[:1]), train=False)
+        tx0 = optax.adam(lr)
+        mask0 = pretrain_trainable_mask(v0["params"], spec0.exclude)
+        step0 = make_sup_train_step(model0, "unet", criterion, tx0,
+                                    trainable_mask=mask0,
+                                    backprop_only=spec0.exclude)
+        curve, _ = train_curve(model0, v0, tx0, step0, tr_x, tr_y,
+                               args.pre_epochs)
+        print(f"# hebbax random-frozen probe: {curve}", flush=True)
+        res["random_frozen_probe"] = curve
         return res
 
     # from-random control (k-independent)
@@ -188,7 +207,8 @@ def torch_explore(arrays, args):
 
     res = {"ft_from_k": {}, "pretrain_probe": {}}
     for k in args.ks:
-        hebb = {"mode": "swta_t", "k": k, "w_nrm": True, "alpha": 1.0}
+        hebb = {"mode": args.hebb_mode, "k": k, "w_nrm": True,
+                "alpha": 1.0}
         torch.manual_seed(seed)
         model = u.UNet_Transposed_Leaky(3, 2)
         makehebbian(model, exclude=EXCLUDE, hebb_params=dict(hebb))
@@ -216,16 +236,47 @@ def torch_explore(arrays, args):
                 sd = {kk: v.clone() for kk, v in model.state_dict().items()}
         print(f"# torch pretrain k={k} probe: {curve}", flush=True)
         res["pretrain_probe"][str(k)] = curve
+        if args.probe_only:
+            continue
 
         torch.manual_seed(seed + 1)
         ft = u.UNet_Transposed_Leaky(3, 2)
-        hp0 = {"mode": "swta_t", "k": k, "w_nrm": True, "alpha": 0}
+        hp0 = {"mode": args.hebb_mode, "k": k, "w_nrm": True, "alpha": 0}
         makehebbian(ft, exclude=EXCLUDE, hebb_params=hp0)
         ft.load_state_dict(sd)
         u.init_weights(ft.out_conv, init_type="kaiming")
         for p_ in ft.parameters():
             p_.requires_grad = True
         res["ft_from_k"][str(k)] = finetune_curve(ft, args.ft_lr, f"k{k}")
+
+    if args.probe_only:
+        # frozen-random control (alpha=0: local_update adds nothing;
+        # only the excluded head backprops) — mirrors the hebbax control
+        hebb0 = {"mode": args.hebb_mode, "k": 50, "w_nrm": True,
+                 "alpha": 0}
+        torch.manual_seed(seed)
+        m0 = u.UNet_Transposed_Leaky(3, 2)
+        makehebbian(m0, exclude=EXCLUDE, hebb_params=hebb0)
+        opt = torch.optim.Adam(m0.parameters(), lr=args.lr)
+        curve = []
+        for epoch in range(args.pre_epochs):
+            m0.train()
+            for b in batches(len(tr_x), bs, epoch):
+                opt.zero_grad()
+                loss = criterion(m0(to_nchw(tr_x[b])),
+                                 torch.from_numpy(
+                                     tr_y[b][:, None].astype(np.int64)))
+                loss.backward()
+                for m in m0.modules():
+                    if hasattr(m, "local_update"):
+                        m.local_update()
+                opt.step()
+            m0.eval()
+            curve.append(round(eval_metric(
+                eval_fwd(m0), va_x, va_y)[2], 4))
+        print(f"# torch random-frozen probe: {curve}", flush=True)
+        res["random_frozen_probe"] = curve
+        return res
 
     torch.manual_seed(seed + 2)
     rnd = u.UNet_Transposed_Leaky(3, 2)
@@ -254,6 +305,8 @@ def main():
                    help="texture noise level (std in units of the "
                         "grating amplitude); 0.5 = r3 default")
     p.add_argument("--period", default=5.0, type=float)
+    p.add_argument("--hebb_mode", default="swta_t",
+               help="hebbian rule for pretraining (swta_t | hpca_t)")
     p.add_argument("--probe_only", action="store_true",
                    help="pretrain + probe curves only (fast diagnostic "
                         "of whether SWTA features encode the cue)")
