@@ -320,6 +320,9 @@ def main():
     if args.data == "texture" and (args.noise != 0.5 or args.period != 5.0):
         genkw = {"noise": args.noise, "period": args.period}
         droot += f"_n{args.noise}_p{args.period}"
+    elif args.data == "palette" and args.noise != 0.5:
+        genkw = {"noise": args.noise}
+        droot += f"_n{args.noise}"
     arrays = make_data(droot, args.size, n_train=args.n_train,
                        n_val=args.n_val, kind=args.data, **genkw)
     fn = hebbax_explore if args.framework == "hebbax" else torch_explore

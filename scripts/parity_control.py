@@ -54,8 +54,9 @@ def make_data(out, size, n_train=32, n_val=16, seed=0, kind="blob",
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     import make_synth_data
     if not os.path.exists(os.path.join(out, "train", "image")):
-        gen = (make_synth_data.make_2d_texture if kind == "texture"
-               else make_synth_data.make_2d)
+        gen = {"texture": make_synth_data.make_2d_texture,
+               "palette": make_synth_data.make_2d_palette}.get(
+            kind, make_synth_data.make_2d)
         gen(out, n_train, n_val, size, seed=seed, **genkw)
 
     from hebbax.config.datasets import dataset_cfg
