@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # 3D train/slider/postprocess e2e
+
 from hebbax.data.nrrd_io import read_nrrd, write_nrrd
 from hebbax.data.volumes3d import PatchQueue, VolumeDataset3D
 from hebbax.engine.sliding import grid_locations, slide_window_inference

@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # 3D hebbian pretrain e2e
+
 from hebbax.data.nrrd_io import write_nrrd
 
 

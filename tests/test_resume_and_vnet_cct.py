@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # vnet-CCT 3D e2e + resume
 from PIL import Image
 
 

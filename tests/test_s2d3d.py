@@ -4,6 +4,8 @@ the unfolded ops, for all fold-factor combinations in {1,2}^3."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # 3D folded-kernel parity vs unfolded (many conv3d configs)
+
 import jax
 import jax.numpy as jnp
 

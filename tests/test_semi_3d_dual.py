@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # 3D dual-model semi e2e (CCT/DTC)
+
 from hebbax.data.nrrd_io import write_nrrd
 
 

@@ -5,6 +5,8 @@ gradients, and Hebbian deltas (mirrors tests/test_s2d.py for 2D)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # unet3d_s2d exact-parity group
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

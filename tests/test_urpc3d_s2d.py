@@ -4,6 +4,8 @@ unet3d_urpc: param tree, eval outputs, f64 grads, Hebbian deltas."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # folded 3D URPC/CCT/DTC parity group
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

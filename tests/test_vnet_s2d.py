@@ -5,6 +5,8 @@ deltas (mirrors tests/test_unet3d_s2d.py)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # vnet_s2d exact-parity group (45M-param 3D folds)
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
