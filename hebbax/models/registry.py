@@ -65,6 +65,12 @@ _REGISTRY = {
     "unet3d_s2d": (UNet3DS2D, dict(nd=3, outputs="single")),
     "unet3d_cct_s2d": (UNet3DCCTS2D, dict(nd=3, outputs="deep4",
                                           rngs=("perturb",))),
+    # one 4N-batched rematted shared-decoder apply instead of 4 serial
+    # passes; train-mode BN-stat deviation documented on the class —
+    # eval-exact
+    "unet3d_cct_s2d_batched": (
+        lambda **kw: UNet3DCCTS2D(batched_aux=True, **kw),
+        dict(nd=3, outputs="deep4", rngs=("perturb",))),
     "unet3d_dtc_s2d": (UNet3DDTCS2D, dict(nd=3, outputs="dtc")),
     "unet3d_min": (lambda **kw: UNet3D(init_features=32, **kw),
                    dict(nd=3, outputs="single")),
@@ -85,6 +91,9 @@ _REGISTRY = {
     "vnet_s2d": (VNetS2D, dict(nd=3, outputs="single")),
     "vnet_cct_s2d": (VNetCCTS2D, dict(nd=3, outputs="deep4",
                                       rngs=("perturb",))),
+    "vnet_cct_s2d_batched": (
+        lambda **kw: VNetCCTS2D(batched_aux=True, **kw),
+        dict(nd=3, outputs="deep4", rngs=("perturb",))),
     "vnet_dtc_s2d": (VNetDTCS2D, dict(nd=3, outputs="dtc")),
     "vnet_dtc": (VNetDTC, dict(nd=3, outputs="dtc")),
     "vnet_cct": (VNetCCT, dict(nd=3, outputs="deep4", rngs=("perturb",))),

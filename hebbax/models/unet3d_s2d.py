@@ -259,7 +259,16 @@ class UNet3DCCTS2D(nn.Module):
     perturbed), so the fold pays 4x.  Perturbations are applied in the
     ORIGINAL layout (identical semantics and rng draws to 'unet3d_cct'
     — feats[0] is unfolded, perturbed, refolded).  Identical parameter
-    tree / checkpoints."""
+    tree / checkpoints.
+
+    ``batched_aux=True`` (network 'unet3d_cct_s2d_batched') runs the
+    clean + 3 perturbed decoder passes as ONE 4N-batched rematted
+    apply instead of 4 serial ones (same trick as the 2D
+    'unet_cct_s2d_batched').  Same parameter tree.  DOCUMENTED
+    deviation from the reference protocol, train mode only: BatchNorm
+    batch statistics are computed over the combined 4N batch instead
+    of per-pass.  Eval mode has no perturbed passes, so eval outputs /
+    checkpoints stay exactly interchangeable."""
 
     in_channels: int
     n_cls: int
@@ -268,6 +277,7 @@ class UNet3DCCTS2D(nn.Module):
     hebb: Optional[HebbSpec] = None
     init_type: str = "kaiming"
     dtype: Optional[jnp.dtype] = None
+    batched_aux: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -289,12 +299,27 @@ class UNet3DCCTS2D(nn.Module):
         def decode(b, fs):
             return s2d3d.unfold3(head(decoder(b, fs, train), train), f)
 
-        main = decode(bottleneck, feats)
         if not self.has_rng("perturb"):
+            main = decode(bottleneck, feats)
             return main, main, main, main
         keys = jax.random.split(self.make_rng("perturb"), 3)
         all_feats = [s2d3d.unfold3(feats[0], f)] + feats[1:] \
             + [bottleneck]
+        if self.batched_aux:
+            pert = [perturb_features(k, all_feats, kind)
+                    for k, kind in zip(keys, ("noise", "dropout",
+                                              "feature_dropout"))]
+            n = x.shape[0]
+            sb = jnp.concatenate([bottleneck] + [p[-1] for p in pert],
+                                 axis=0)
+            sf = [jnp.concatenate(
+                [feats[0]] + [s2d3d.fold3(p[0], f) for p in pert],
+                axis=0)]
+            sf += [jnp.concatenate([feats[lv]] + [p[lv] for p in pert],
+                                   axis=0) for lv in range(1, 4)]
+            out = decode(sb, sf)
+            return tuple(out[i * n:(i + 1) * n] for i in range(4))
+        main = decode(bottleneck, feats)
         aux = []
         for k, kind in zip(keys, ("noise", "dropout",
                                   "feature_dropout")):

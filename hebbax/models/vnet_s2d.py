@@ -328,13 +328,23 @@ class VNetCCTS2D(nn.Module):
     """VNetCCT (vnet_cct.py:195-232) with the full-res level folded.
     Perturbations are applied in the ORIGINAL layout (identical
     semantics and rng draws to ``vnet_cct`` — out16 is unfolded,
-    perturbed, refolded).  Same param tree / checkpoints."""
+    perturbed, refolded).  Same param tree / checkpoints.
+
+    ``batched_aux=True`` (network 'vnet_cct_s2d_batched') runs the
+    clean + 3 perturbed decoder passes as ONE 4N-batched rematted
+    apply (same trick as 'unet_cct_s2d_batched').  Same parameter
+    tree.  DOCUMENTED train-mode deviation: BatchNorm batch stats are
+    computed over the combined 4N batch instead of per-pass; decoder
+    dropout masks are drawn once for the 4N batch (still i.i.d. per
+    sample).  Eval mode has no perturbed passes — eval outputs /
+    checkpoints stay exactly interchangeable."""
 
     in_channels: int
     n_cls: int
     hebb: Optional[HebbSpec] = None
     init_type: str = "kaiming"
     dtype: Optional[jnp.dtype] = None
+    batched_aux: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -358,12 +368,25 @@ class VNetCCTS2D(nn.Module):
         def decode(f256, f128, f64, f32, f16f):
             return decoder(f256, f128, f64, f32, f16f, train)
 
-        main = decode(out256, out128, out64, out32, out16f)
         if not self.has_rng("perturb"):
+            main = decode(out256, out128, out64, out32, out16f)
             return main, main, main, main
         keys = jax.random.split(self.make_rng("perturb"), 3)
         feats = [out256, out128, out64, out32,
                  s2d3d.unfold3(out16f, FOLD)]
+        if self.batched_aux:
+            pert = [perturb_features(k, feats, kind)
+                    for k, kind in zip(keys, ("noise", "dropout",
+                                              "feature_dropout"))]
+            n = x.shape[0]
+            clean = [out256, out128, out64, out32, out16f]
+            stacked = [jnp.concatenate(
+                [clean[lv]] + [p[lv] if lv < 4 else
+                               s2d3d.fold3(p[4], FOLD) for p in pert],
+                axis=0) for lv in range(5)]
+            out = decode(*stacked)
+            return tuple(out[i * n:(i + 1) * n] for i in range(4))
+        main = decode(out256, out128, out64, out32, out16f)
         aux = []
         for k, kind in zip(keys, ("noise", "dropout",
                                   "feature_dropout")):

@@ -6,11 +6,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-
-pytestmark = pytest.mark.slow  # vnet-CCT 3D e2e + resume
 from PIL import Image
 
 
+@pytest.mark.slow  # 3D model e2e: eager init is minutes on CPU
 def test_vnet_cct_outputs():
     from hebbax.models import get_network
     model = get_network("vnet_cct", 1, 2)
