@@ -26,8 +26,17 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from jax.ad_checkpoint import checkpoint_name
+
 from . import rules
 from .spec import HebbSpec, spec_if_active
+
+# Conv outputs are tagged so rematted regions can opt into the
+# ``save_only_these_names("hconv_out")`` checkpoint policy: backward
+# then recomputes only the cheap elementwise tail (BN/ReLU/concat)
+# while every conv result — the expensive MXU work — stays resident.
+# Outside a policy-remat the tag is an identity primitive XLA erases.
+CONV_SAVE_NAME = "hconv_out"
 
 
 def _tuple(v, nd):
@@ -156,7 +165,7 @@ class HConv(nn.Module):
             self.sow("hebb", "delta", jax.lax.stop_gradient(delta),
                      init_fn=lambda: 0.0,
                      reduce_fn=lambda acc, v: acc + v)
-        return y
+        return checkpoint_name(y, CONV_SAVE_NAME)
 
 
 class HConvTranspose(HConv):
@@ -282,7 +291,7 @@ class FoldedHConv(nn.Module):
                      jax.lax.stop_gradient(delta.astype(jnp.float32)),
                      init_fn=lambda: 0.0,
                      reduce_fn=lambda acc, v: acc + v)
-        return y
+        return checkpoint_name(y, CONV_SAVE_NAME)
 
     def _folded_delta(self, spec, mode, w_d, x_d, y_d, k, in_groups, co,
                       pad):
@@ -417,7 +426,7 @@ class FoldedHConv3(nn.Module):
                      jax.lax.stop_gradient(delta.astype(jnp.float32)),
                      init_fn=lambda: 0.0,
                      reduce_fn=lambda acc, v: acc + v)
-        return y
+        return checkpoint_name(y, CONV_SAVE_NAME)
 
 
 class FoldedHConvTranspose3(nn.Module):
@@ -477,7 +486,7 @@ class FoldedHConvTranspose3(nn.Module):
                      jax.lax.stop_gradient(delta.astype(jnp.float32)),
                      init_fn=lambda: 0.0,
                      reduce_fn=lambda acc, v: acc + v)
-        return y
+        return checkpoint_name(y, CONV_SAVE_NAME)
 
 
 class FoldedDownHConv3(nn.Module):
@@ -550,4 +559,4 @@ class FoldedDownHConv3(nn.Module):
                      jax.lax.stop_gradient(delta.astype(jnp.float32)),
                      init_fn=lambda: 0.0,
                      reduce_fn=lambda acc, v: acc + v)
-        return y
+        return checkpoint_name(y, CONV_SAVE_NAME)

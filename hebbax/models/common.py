@@ -18,6 +18,26 @@ from flax import linen as nn
 from jax import lax
 
 
+def remat_policy(name: Optional[str]):
+    """Checkpoint policy for the rematted CCT shared decoders.
+
+    ``None``: classic full remat — store only the region inputs,
+    recompute the whole decoder in the backward (minimum HBM, maximum
+    recompute).  ``"convs"``: save every tagged conv output
+    (hebb.layers.CONV_SAVE_NAME) so the backward recomputes only the
+    cheap elementwise tail (BN/ReLU/add/concat) — trades ~HBM for
+    skipping all conv recompute FLOPs.  Gradients are bitwise-identical
+    either way; only the memory/recompute split changes.
+    """
+    if name is None:
+        return None
+    if name == "convs":
+        from ..hebb.layers import CONV_SAVE_NAME
+        return jax.checkpoint_policies.save_only_these_names(
+            CONV_SAVE_NAME)
+    raise ValueError(f"unknown remat policy {name!r}")
+
+
 def max_pool(x, window: int = 2, stride: Optional[int] = None):
     """MaxPool over all spatial dims of a channels-last tensor
     (torch nn.MaxPool2d/3d(kernel_size=2) parity)."""

@@ -71,6 +71,16 @@ _REGISTRY = {
     "unet3d_cct_s2d_batched": (
         lambda **kw: UNet3DCCTS2D(batched_aux=True, **kw),
         dict(nd=3, outputs="deep4", rngs=("perturb",))),
+    # conv-saving remat policy: backward recomputes only the
+    # elementwise tail instead of the whole shared decoder (grads
+    # bitwise-identical to unet3d_cct_s2d; trades HBM for recompute)
+    "unet3d_cct_s2d_rc": (
+        lambda **kw: UNet3DCCTS2D(remat_policy="convs", **kw),
+        dict(nd=3, outputs="deep4", rngs=("perturb",))),
+    "unet3d_cct_s2d_batched_rc": (
+        lambda **kw: UNet3DCCTS2D(batched_aux=True,
+                                  remat_policy="convs", **kw),
+        dict(nd=3, outputs="deep4", rngs=("perturb",))),
     "unet3d_dtc_s2d": (UNet3DDTCS2D, dict(nd=3, outputs="dtc")),
     "unet3d_min": (lambda **kw: UNet3D(init_features=32, **kw),
                    dict(nd=3, outputs="single")),
@@ -93,6 +103,14 @@ _REGISTRY = {
                                       rngs=("perturb",))),
     "vnet_cct_s2d_batched": (
         lambda **kw: VNetCCTS2D(batched_aux=True, **kw),
+        dict(nd=3, outputs="deep4", rngs=("perturb",))),
+    # conv-saving remat policy (see unet3d_cct_s2d_rc)
+    "vnet_cct_s2d_rc": (
+        lambda **kw: VNetCCTS2D(remat_policy="convs", **kw),
+        dict(nd=3, outputs="deep4", rngs=("perturb",))),
+    "vnet_cct_s2d_batched_rc": (
+        lambda **kw: VNetCCTS2D(batched_aux=True,
+                                remat_policy="convs", **kw),
         dict(nd=3, outputs="deep4", rngs=("perturb",))),
     "vnet_dtc_s2d": (VNetDTCS2D, dict(nd=3, outputs="dtc")),
     "vnet_dtc": (VNetDTC, dict(nd=3, outputs="dtc")),

@@ -145,9 +145,14 @@ class UNet3DCCT(nn.Module):
     hebb: Optional[HebbSpec] = None
     init_type: str = "kaiming"
     dtype: Optional[jnp.dtype] = None
+    # None = full remat; "convs" = save conv outputs, recompute only
+    # the elementwise tail in backward (models/common.remat_policy)
+    remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from .common import remat_policy
+
         kw = dict(hebb=self.hebb, init_type=self.init_type, dtype=self.dtype)
         feats, bottleneck = Encoder3D(self.init_features, name="encoder",
                                       **kw)(x, train)
@@ -156,7 +161,8 @@ class UNet3DCCT(nn.Module):
         # for backward exceeds the v5e's 16G HBM at the reference
         # 96x96x80 patch (measured: 16.88G requested).  Recompute them
         # in the backward instead — params/grads unchanged.
-        decoder = nn.remat(Decoder3D, static_argnums=(3,))(
+        decoder = nn.remat(Decoder3D, static_argnums=(3,),
+                           policy=remat_policy(self.remat_policy))(
             self.init_features, name="main_decoder", **kw)
         head = HConv(self.n_cls, kernel_size=(1, 1, 1), name="conv", **kw)
 

@@ -278,10 +278,13 @@ class UNet3DCCTS2D(nn.Module):
     init_type: str = "kaiming"
     dtype: Optional[jnp.dtype] = None
     batched_aux: bool = False
+    # None = full remat; "convs" = save conv outputs, recompute only
+    # the elementwise tail in backward (models/common.remat_policy)
+    remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from .common import perturb_features
+        from .common import perturb_features, remat_policy
 
         kw = dict(fold=self.fold, hebb=self.hebb,
                   init_type=self.init_type, dtype=self.dtype)
@@ -291,7 +294,8 @@ class UNet3DCCTS2D(nn.Module):
                                             **kw)(x, train)
         # remat: see UNet3DCCT — 4 decoder passes/forward OOM the HBM
         # at the reference patch size without it
-        decoder = nn.remat(FoldedDecoder3D, static_argnums=(3,))(
+        decoder = nn.remat(FoldedDecoder3D, static_argnums=(3,),
+                           policy=remat_policy(self.remat_policy))(
             self.init_features, name="main_decoder", **kw)
         head = FoldedHConv3(self.n_cls, 1, (self.init_features,),
                             name="conv", **kw)

@@ -179,12 +179,15 @@ class VNetCCT(nn.Module):
     hebb: Optional[HebbSpec] = None
     init_type: str = "kaiming"
     dtype: Optional[jnp.dtype] = None
+    # None = full remat; "convs" = save conv outputs, recompute only
+    # the elementwise tail in backward (models/common.remat_policy)
+    remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         import jax
 
-        from .common import perturb_features
+        from .common import perturb_features, remat_policy
         kw = dict(hebb=self.hebb, init_type=self.init_type,
                   dtype=self.dtype)
         out16 = InputTransition(name="in_tr", **kw)(x, train)
@@ -196,7 +199,8 @@ class VNetCCT(nn.Module):
                                                                  train)
         # remat: 4 shared-decoder passes/forward OOM the 16G HBM at the
         # reference patch size (see UNet3DCCT); recompute in backward
-        decoder = nn.remat(VNetDecoder, static_argnums=(6,))(
+        decoder = nn.remat(VNetDecoder, static_argnums=(6,),
+                           policy=remat_policy(self.remat_policy))(
             self.n_cls, name="main_decoder", **kw)
         feats = [out256, out128, out64, out32, out16]
         main = decoder(*feats, train)

@@ -345,12 +345,15 @@ class VNetCCTS2D(nn.Module):
     init_type: str = "kaiming"
     dtype: Optional[jnp.dtype] = None
     batched_aux: bool = False
+    # None = full remat; "convs" = save conv outputs, recompute only
+    # the elementwise tail in backward (models/common.remat_policy)
+    remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         import jax
 
-        from .common import perturb_features
+        from .common import perturb_features, remat_policy
         kw = dict(hebb=self.hebb, init_type=self.init_type,
                   dtype=self.dtype)
         out16f = FoldedInputTransition(name="in_tr", **kw)(x, train)
@@ -362,7 +365,8 @@ class VNetCCTS2D(nn.Module):
                                                                  train)
         out256 = DownTransition(256, 2, name="down_tr256", **kw)(out128,
                                                                  train)
-        decoder = nn.remat(VNetDecoderFolded, static_argnums=(6,))(
+        decoder = nn.remat(VNetDecoderFolded, static_argnums=(6,),
+                           policy=remat_policy(self.remat_policy))(
             self.n_cls, name="main_decoder", **kw)
 
         def decode(f256, f128, f64, f32, f16f):
