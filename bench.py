@@ -379,17 +379,34 @@ def main():
                                 if baseline else None),
             }), flush=True)
 
-    # novelty path: Hebbian pretrain step
+    # novelty path: Hebbian pretrain step.  This program is BIMODAL
+    # across recompiles (f32 ~16.3 vs ~20.2 ms — tunnel compile-to-
+    # compile layout nondeterminism, CLAUDE.md; the mode is sticky
+    # within a tunnel session).  Policy per VERDICT r4 #3: retry once
+    # with jax.clear_caches() to force a genuinely fresh compile, keep
+    # the best, and report BOTH samples in the unit string.
     if not os.environ.get("BENCH_SKIP_PRETRAIN"):
         if remaining() < 240:
             skip_note("Hebbian pretrain metric", 240)
         else:
             p_steps, p_imgs = bench_hebbax_pretrain()
+            samples = [round(p_imgs, 1)]
+            if (remaining() > 300
+                    and not os.environ.get("BENCH_PRETRAIN_NO_RETRY")):
+                import jax
+                jax.clear_caches()
+                p_steps2, p_imgs2 = bench_hebbax_pretrain()
+                samples.append(round(p_imgs2, 1))
+                if p_imgs2 > p_imgs:
+                    p_steps, p_imgs = p_steps2, p_imgs2
             p_base, ptag = controls.get("pre2d")
+            mode = (f"; best of recompiles {samples}"
+                    if len(samples) > 1 else "")
             print(json.dumps({
                 "metric": "glas2d_hebbian_swta_t_pretrain_images_per_sec",
                 "value": round(p_imgs, 2),
-                "unit": f"images/s (bs={BATCH}, {SIZE}x{SIZE})" + ptag,
+                "unit": (f"images/s (bs={BATCH}, {SIZE}x{SIZE}{mode})"
+                         + ptag),
                 "vs_baseline": (round(p_steps / p_base, 2)
                                 if p_base else None),
             }), flush=True)

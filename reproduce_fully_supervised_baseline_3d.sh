@@ -15,7 +15,7 @@ GPU=0
 # unfolded originals.
 NET3D=unet3d_s2d
 NET3D_URPC=unet3d_urpc_s2d
-NET3D_CCT=unet3d_cct_s2d
+NET3D_CCT=unet3d_cct_s2d_rc
 NET3D_DTC=unet3d_dtc_s2d
 
 BATCH_SIZE=2

@@ -62,3 +62,25 @@ def test_vnet_cct_s2d_batched():
     rngs = {"perturb": jax.random.PRNGKey(7),
             "dropout": jax.random.PRNGKey(8)}
     _check("vnet_cct", "vnet_cct_s2d_batched", "vnet_cct_s2d", x, rngs)
+
+
+def test_unet3d_cct_s2d_batched_rc():
+    # batched + conv-saving remat policy (TPU family best: 433.8 ms
+    # vs 588.0 serial full-remat, artifacts/r5/tpu_queue3.log); remat
+    # policy only changes the backward memory/recompute split, so the
+    # eval/train output contracts are the batched ones
+    x = jnp.asarray(np.random.RandomState(5).rand(1, 16, 16, 16, 1),
+                    jnp.float32)
+    rngs = {"perturb": jax.random.PRNGKey(7),
+            "dropout": jax.random.PRNGKey(8)}
+    _check("unet3d_cct", "unet3d_cct_s2d_batched_rc", "unet3d_cct_s2d",
+           x, rngs)
+
+
+def test_vnet_cct_s2d_batched_rc():
+    x = jnp.asarray(np.random.RandomState(6).rand(1, 16, 16, 16, 1),
+                    jnp.float32)
+    rngs = {"perturb": jax.random.PRNGKey(7),
+            "dropout": jax.random.PRNGKey(8)}
+    _check("vnet_cct", "vnet_cct_s2d_batched_rc", "vnet_cct_s2d",
+           x, rngs)
