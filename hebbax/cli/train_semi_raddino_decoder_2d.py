@@ -72,7 +72,7 @@ def build(args, image_size=224):
         ld.dataset.size = size
 
     encoder = ViTEncoder()
-    decoder = RadDinoDecoder(n_cls)
+    decoder = RadDinoDecoder(n_cls, out_size=image_size)
     key = jax.random.PRNGKey(args.seed)
     enc_params = encoder.init(
         {"params": key}, jnp.zeros((1,) + size + (3,)))["params"]
@@ -82,9 +82,10 @@ def build(args, image_size=224):
               "— the frozen ViT encoder runs with RANDOM init; decoder "
               "metrics will not be comparable to the reference's "
               "pretrained-encoder results")
-    grid = image_size // 14
+    grid = image_size // encoder.patch
     dec_vars = decoder.init({"params": jax.random.fold_in(key, 1)},
-                            jnp.zeros((1, grid, grid, 768)), train=False)
+                            jnp.zeros((1, grid, grid, encoder.dim)),
+                            train=False)
     tx = common.build_tx(args, steps_per_epoch=len(loaders["train_sup"]))
     state = TrainState(params=dec_vars["params"],
                        batch_stats=dec_vars.get("batch_stats"),

@@ -76,9 +76,15 @@ def reshape_patch_embeddings(tokens, image_size=224, patch_size=14):
 class RadDinoDecoder(nn.Module):
     """ConvT(768->256,k3,s1) BN ReLU -> ConvT(256->128,k3,s2) ->
     ConvT(128->64,k7,s3) -> Upsample(222, nearest) -> ConvT(64->C,k3,s1)
-    (train_semi_raddino_decoder_2d.py:194-207)."""
+    (train_semi_raddino_decoder_2d.py:194-207).
+
+    ``out_size`` is the final map side; the reference protocol is 224
+    (the nearest-resize target is out_size-2 so the VALID k3 out conv
+    lands exactly on out_size).  Non-default values are for scaled-down
+    tests only."""
 
     n_cls: int
+    out_size: int = 224
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -95,7 +101,7 @@ class RadDinoDecoder(nn.Module):
         x = convt(64, 7, 3, "deconv3")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          name="bn3")(nn.relu(x))
-        x = resize_nearest_torch(x, (222, 222))
+        x = resize_nearest_torch(x, (self.out_size - 2, self.out_size - 2))
         return convt(max(self.n_cls, 2), 3, 1, "out")(x)
 
 
@@ -134,8 +140,10 @@ def apply_hf_state_dict(flax_params, sd):
     put(("patch_embed", "bias"), sd[emb + "patch_embeddings.projection.bias"])
     put(("cls_token",), sd[emb + "cls_token"])
     put(("pos_embed",), sd[emb + "position_embeddings"])
-    # transformer blocks: HF dinov2 naming
-    for i in range(12):
+    # transformer blocks: HF dinov2 naming; depth follows the flax tree
+    # (12 for the real ViT-B checkpoint, fewer in scaled-down tests)
+    n_blocks = sum(1 for k in p if str(k).startswith("block"))
+    for i in range(n_blocks):
         b = f"encoder.layer.{i}."
         blk = (f"block{i}",)
         put(blk + ("norm1", "scale"), sd[b + "norm1.weight"])

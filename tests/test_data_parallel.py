@@ -46,7 +46,10 @@ def _build(tiny_dataset, tmp_path, dp, tag):
     return trainer
 
 
+@pytest.mark.slow  # dp equality also proven every round by the driver's
 def test_dp_trainer_runs_and_matches_single_device(tiny_dataset, tmp_path):
+    # 8-device dryrun (MULTICHIP_r0N); padded-batch + unsup-mask dp tests
+    # stay in the fast tier
     assert len(jax.devices()) == 8
     t1 = _build(tiny_dataset, tmp_path, 1, "single")
     best1 = t1.run()

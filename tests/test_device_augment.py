@@ -44,7 +44,9 @@ def test_device_augment_produces_d4_symmetries():
     assert len(hits) >= 6  # sampling covers most of the group
 
 
-def test_device_augment_training(tmp_path):
+@pytest.mark.slow  # CLI wiring dupe of test_train_sup_2d e2e; the
+def test_device_augment_training(tmp_path):  # augment op itself is
+    # covered fast by the D4-distribution test above
     root = tmp_path / "GlaS"
     rng = np.random.default_rng(1)
     for split, n in (("train", 6), ("val", 3)):

@@ -26,8 +26,11 @@ def tiny_dataset(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow  # CLI mode wiring only: the rule math for every mode
 @pytest.mark.parametrize("mode", ["hpca", "contrastive"])
 def test_hebbian_pretrain_other_modes(mode, tiny_dataset, tmp_path):
+    # is covered fast by test_hebb_torch_parity; swta_t runs e2e fast in
+    # test_hebbian_pretrain_then_finetune
     """The non-default rules also run through the full CLI pipeline."""
     from hebbax.cli.common import base_parser_2d
     from hebbax.cli import pretrain_hebbian_unsup_2d as pre

@@ -27,7 +27,10 @@ def tiny_dataset(tmp_path_factory):
     return str(root)
 
 
-@pytest.mark.parametrize("network", ["unet_urpc", "unet_urpc_s2d"])
+@pytest.mark.parametrize("network", [
+    pytest.param("unet_urpc", marks=pytest.mark.slow),  # same CLI path;
+    "unet_urpc_s2d",  # the folded twin stays fast and compiles quicker
+])
 def test_hebbian_pretrain_urpc_backbone(tiny_dataset, tmp_path, network):
     """pretrain_hebbian_unsup_2d with unet_urpc (and its folded twin):
     4 deep-supervision heads averaged unconditionally
@@ -80,17 +83,20 @@ def test_pretrain_cli_threads_dtype(tiny_dataset, tmp_path):
         "--num_workers", "2", "--dtype", "bfloat16",
     ])
     trainer = pre.build(args)
-    out = trainer.model.apply(
+    # jit: an eager UNet apply pays per-op CPU compiles (~15 s)
+    out = jax.jit(lambda v, x: trainer.model.apply(v, x, train=False))(
         {"params": trainer.state.params,
          "batch_stats": trainer.state.batch_stats},
-        jnp.zeros((1, 32, 32, 3)), train=False)
+        jnp.zeros((1, 32, 32, 3)))
     assert out.dtype == jnp.bfloat16
     # params stay f32
     leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
     assert leaf.dtype == jnp.float32
 
 
-def test_wavelet_input_variant(tiny_dataset, tmp_path):
+@pytest.mark.slow  # trains a full CLI on generated wavelets; the wavelet
+def test_wavelet_input_variant(tiny_dataset, tmp_path):  # filterbanks
+    # themselves keep fast coverage in test_tools.py
     """Generate HAAR_H inputs with the wavelet tool, then train with
     --input1 HAAR_H so stats resolve via MEAN_HAAR_H
     (train_sup_2d.py:110-115; grayscale wavelets are RGB-expanded and the

@@ -19,6 +19,8 @@ RNGS_2D = {"params": jax.random.PRNGKey(0),
 
 
 def _init_and_apply(name, x, n_cls=2, train=False, hebb=None):
+    # deliberately EAGER: per-op XLA CPU compiles are shared process-wide
+    # across tests (measured faster than per-test whole-program jits)
     model = get_network(name, x.shape[-1], n_cls, hebb=hebb)
     variables = model.init(RNGS_2D, x, train=False)
     out = model.apply(variables, x, train=train, rngs=RNGS_2D,
@@ -26,6 +28,24 @@ def _init_and_apply(name, x, n_cls=2, train=False, hebb=None):
     if train:
         return out[0], out[1], variables
     return out, {}, variables
+
+
+def _init_and_apply_shapes(name, x, n_cls=2, hebb=None):
+    """Shape-only twin of _init_and_apply via jax.eval_shape: pure
+    abstract tracing, ZERO compile — structural/param-count tests on the
+    big 3D nets run in ~1 s instead of ~30 s of CPU compiles."""
+    model = get_network(name, x.shape[-1], n_cls, hebb=hebb)
+    variables = jax.eval_shape(
+        lambda xx: model.init(RNGS_2D, xx, train=False), x)
+    out = jax.eval_shape(
+        lambda v, xx: model.apply(v, xx, train=False, rngs=RNGS_2D),
+        variables, x)
+    return out, variables
+
+
+def _n_params(variables):
+    return sum(int(np.prod(p.shape))
+               for p in jax.tree.leaves(variables["params"]))
 
 
 def test_resize_bilinear_align_corners_matches_torch():
@@ -108,22 +128,22 @@ def test_superpix_2d_outputs():
     assert sp.shape == (2, 64, 64, 2)
 
 
-@pytest.mark.parametrize("name", ["unet3d_min"])
+@pytest.mark.parametrize("name", ["unet3d", "unet3d_min"])
 def test_unet3d_shape(name):
     x = jnp.zeros((1, 32, 32, 16, 1))
-    out, _, _ = _init_and_apply(name, x)
+    out, _ = _init_and_apply_shapes(name, x)
     assert out.shape == (1, 32, 32, 16, 2)
 
 
 def test_unet3d_param_count():
     x = jnp.zeros((1, 16, 16, 16, 1))
-    _, _, variables = _init_and_apply("unet3d", x)
-    n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
+    _, variables = _init_and_apply_shapes("unet3d", x)
     # torch UNet3D(1, 2, init_features=64): 90,304,514 parameters.
-    assert n_params == 90304514
+    assert _n_params(variables) == 90304514
 
 
-def test_unet3d_dtc_outputs():
+@pytest.mark.slow  # value assertion (tanh range) needs a real compile;
+def test_unet3d_dtc_outputs():  # shapes covered fast just below
     x = jnp.zeros((1, 16, 16, 16, 1))
     out, _, _ = _init_and_apply("unet3d_dtc", x)
     sdf, seg = out
@@ -131,9 +151,16 @@ def test_unet3d_dtc_outputs():
     assert np.all(np.abs(np.asarray(sdf)) <= 1.0)
 
 
+def test_unet3d_dtc_shapes():
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    out, _ = _init_and_apply_shapes("unet3d_dtc", x)
+    sdf, seg = out
+    assert sdf.shape == seg.shape == (1, 16, 16, 16, 2)
+
+
 def test_unet3d_urpc_outputs():
     x = jnp.zeros((1, 16, 16, 16, 1))
-    out, _, _ = _init_and_apply("unet3d_urpc", x)
+    out, _ = _init_and_apply_shapes("unet3d_urpc", x)
     assert len(out) == 4
     for o in out:
         assert o.shape == (1, 16, 16, 16, 2)
@@ -141,16 +168,15 @@ def test_unet3d_urpc_outputs():
 
 def test_vnet_shape():
     x = jnp.zeros((1, 32, 32, 16, 1))
-    out, _, _ = _init_and_apply("vnet", x)
+    out, _ = _init_and_apply_shapes("vnet", x)
     assert out.shape == (1, 32, 32, 16, 2)
 
 
 def test_vnet_param_count():
     x = jnp.zeros((1, 16, 16, 16, 1))
-    _, _, variables = _init_and_apply("vnet", x)
-    n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
+    _, variables = _init_and_apply_shapes("vnet", x)
     # torch VNet(1, 2, elu=True): 45,600,316 parameters.
-    assert n_params == 45600316
+    assert _n_params(variables) == 45600316
 
 
 def test_hebbian_deltas_sown_everywhere_except_excluded():
@@ -158,9 +184,11 @@ def test_hebbian_deltas_sown_everywhere_except_excluded():
                     exclude=("out_conv",))
     x = jnp.ones((2, 32, 32, 3))
     model = get_network("unet", 3, 2, hebb=spec)
-    variables = model.init(RNGS_2D, x, train=False)
-    _, state = model.apply(variables, x, train=True, rngs=RNGS_2D,
-                           mutable=["batch_stats", "hebb"])
+    variables = jax.jit(
+        lambda xx: model.init(RNGS_2D, xx, train=False))(x)
+    _, state = jax.jit(lambda v, xx: model.apply(
+        v, xx, train=True, rngs=RNGS_2D,
+        mutable=["batch_stats", "hebb"]))(variables, x)
     hebb = state["hebb"]
     import flax.traverse_util as tu
     flat = tu.flatten_dict(hebb)
@@ -184,8 +212,8 @@ def test_hebbian_param_shapes_equal_plain():
     x = jnp.ones((1, 32, 32, 3))
     plain = get_network("unet", 3, 2)
     hebb = get_network("unet", 3, 2, hebb=HebbSpec(exclude=("out_conv",)))
-    vp = plain.init(RNGS_2D, x, train=False)
-    vh = hebb.init(RNGS_2D, x, train=False)
+    vp = jax.eval_shape(lambda xx: plain.init(RNGS_2D, xx, train=False), x)
+    vh = jax.eval_shape(lambda xx: hebb.init(RNGS_2D, xx, train=False), x)
     sp = jax.tree.map(lambda a: a.shape, vp["params"])
     sh = jax.tree.map(lambda a: a.shape, vh["params"])
     assert sp == sh

@@ -54,7 +54,8 @@ def _run(kind, tiny_dataset, tmp_path, extra=()):
     return pd.read_csv(os.path.join(run, "train_log.csv"))
 
 
-def test_pretrain_vae_2d(tiny_dataset, tmp_path):
+@pytest.mark.slow  # CLI wiring; the VAE model/ELBO stay covered fast by
+def test_pretrain_vae_2d(tiny_dataset, tmp_path):  # test_models/test_losses
     log = _run("vae", tiny_dataset, tmp_path)
     # the ELBO objective (trains the whole net) must decrease
     assert log["loss_unsup"].iloc[-1] < log["loss_unsup"].iloc[0]

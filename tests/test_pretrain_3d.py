@@ -28,8 +28,10 @@ def tiny_volumes(tmp_path_factory):
 
 
 @pytest.mark.parametrize("kind,net", [
-    ("vae", "unet3d_vae"),
-    ("superpix", "unet3d_superpix"),
+    # 3D e2e CLI runs are the slow tier (r4 tiering); the 2D pretrain
+    # CLIs cover the same code paths fast (test_pretrain_2d.py)
+    pytest.param("vae", "unet3d_vae", marks=pytest.mark.slow),
+    pytest.param("superpix", "unet3d_superpix", marks=pytest.mark.slow),
     # central-z-slice 2D diffusion (pretrain_superdiff_unsup_3d.py:188)
     pytest.param("superdiff", "unet_ddpm", marks=pytest.mark.slow),
 ])

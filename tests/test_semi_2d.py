@@ -49,17 +49,20 @@ def _run(algo, tiny_dataset, tmp_path, extra=()):
     return trainer
 
 
-def test_em(tiny_dataset, tmp_path):
-    tr = _run("em", tiny_dataset, tmp_path)
+@pytest.mark.slow  # compile-bound; uamt keeps semi-2D e2e fast coverage
+def test_em(tiny_dataset, tmp_path):  # (em's unsup term is plain
+    tr = _run("em", tiny_dataset, tmp_path)  # entropy, unit-tested)
     assert "semi_sup" in tr.paths.run
     assert "em_unet" in tr.paths.run
 
 
+@pytest.mark.slow  # compile-bound dupe: em+uamt keep semi fast coverage
 def test_urpc(tiny_dataset, tmp_path):
     tr = _run("urpc", tiny_dataset, tmp_path)
     assert "urpc_unet_urpc" in tr.paths.run
 
 
+@pytest.mark.slow
 def test_cct(tiny_dataset, tmp_path):
     _run("cct", tiny_dataset, tmp_path)
 
@@ -77,6 +80,7 @@ def test_uamt_ema_teacher_moves(tiny_dataset, tmp_path):
                                        "last.ckpt"))
 
 
+@pytest.mark.slow  # dual-state covered fast by uamt
 def test_cps_two_models_trained(tiny_dataset, tmp_path):
     import jax
     tr = _run("cps", tiny_dataset, tmp_path)

@@ -55,6 +55,7 @@ def test_snn_forward_and_train_step():
     assert max(jax.tree_util.tree_leaves(moved)) > 0
 
 
+@pytest.mark.slow  # structural refactor proof; compiles two VGG9 nets
 def test_snn_scan_matches_unrolled_twin():
     """The scanned BNTT implementation (stacked (T, C) params indexed by
     the scan counter) must reproduce an explicitly unrolled timestep loop
