@@ -96,7 +96,7 @@ def build(args, image_size=224):
     def embed(images):
         tokens = encoder.apply({"params": enc_params}, images)
         return jax.lax.stop_gradient(
-            reshape_patch_embeddings(tokens, image_size))
+            reshape_patch_embeddings(tokens, image_size, encoder.patch))
 
     def train_step(state, sup_batch, unsup_batch, w, key):
         emb_u = embed(unsup_batch["image"])

@@ -118,7 +118,14 @@ def load_hf_rad_dino_params(flax_params, repo="microsoft/rad-dino"):
         return flax_params, False
 
     sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
-    return apply_hf_state_dict(flax_params, sd), True
+    try:
+        return apply_hf_state_dict(flax_params, sd), True
+    except AssertionError as e:
+        # e.g. a scaled-down test encoder (dim != 768) on a machine that
+        # DOES have the real checkpoint cached: fall back like offline
+        print(f"# rad-dino checkpoint incompatible with this encoder "
+              f"config ({e}); keeping random init")
+        return flax_params, False
 
 
 def apply_hf_state_dict(flax_params, sd):

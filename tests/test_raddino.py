@@ -31,6 +31,24 @@ def test_vit_tokens_shape():
     assert grid.shape == (2, 16, 16, 768)
 
 
+def test_vit_non_default_patch_grid():
+    """The trainer derives the grid from encoder.patch; the token
+    reshape must agree for ANY patch size, not just the ViT-B/14
+    default (regression test for a hard-coded patch_size=14)."""
+    from hebbax.models.raddino import ViTEncoder, reshape_patch_embeddings
+    enc = ViTEncoder(depth=1, dim=96, patch=16)  # dim % 12 heads == 0
+    size = 112
+    tokens = jax.eval_shape(
+        lambda x: enc.apply(
+            enc.init({"params": jax.random.PRNGKey(0)}, x), x),
+        jnp.zeros((2, size, size, 3)))
+    g = size // enc.patch
+    assert tokens.shape == (2, 1 + g * g, 96)
+    grid = jax.eval_shape(
+        lambda t: reshape_patch_embeddings(t, size, enc.patch), tokens)
+    assert grid.shape == (2, g, g, 96)
+
+
 def test_hf_key_mapping_forward_parity():
     """apply_hf_state_dict vs a randomly-initialized HF Dinov2Model
     (the rad-dino architecture): mapped flax forward must reproduce the
