@@ -73,6 +73,19 @@ def make_sup_train_step(model, network: str, criterion, tx,
 
     from ..hebb.spec import is_excluded
 
+    # HEBBAX_REMAT_STEP: ""/unset (off) | "convs" | "full".  Wraps the
+    # whole loss closure in jax.checkpoint; "convs" uses the conv-saving
+    # policy (models/common.remat_policy) so the backward recomputes only
+    # the elementwise tails instead of round-tripping their activations
+    # through HBM.  Grads are identical either way (only the
+    # save/recompute split changes); measured A/B in
+    # scripts/microbench_remat2d.py.  Read at factory time so tests/
+    # benches can flip it per-step-build.
+    import os as _os
+
+    from ..models.common import remat_policy as _remat_policy
+    _remat = _os.environ.get("HEBBAX_REMAT_STEP", "")
+
     def step(state: TrainState, batch, key):
         images, mask = batch["image"], batch["mask"]
 
@@ -86,6 +99,11 @@ def make_sup_train_step(model, network: str, criterion, tx,
             if unsup_loss is not None:
                 loss = loss + unsup_loss(outputs, batch)
             return loss, (outputs, mut)
+
+        if _remat:
+            run = jax.checkpoint(
+                run, policy=_remat_policy(
+                    "convs" if _remat == "convs" else None))
 
         if backprop_only:
             flat = traverse_util.flatten_dict(state.params)
