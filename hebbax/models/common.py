@@ -165,3 +165,38 @@ def perturb_features(key, feats: Tuple, kind: str):
     }
     fn = fns[kind]
     return [fn(k, f) for k, f in zip(keys, feats)]
+
+
+CCT_PERTURB_KINDS = ("noise", "dropout", "feature_dropout")
+
+
+def cct_aux_outputs(key, clean_levels, perturb_one, decode, n,
+                    batched: bool):
+    """The CCT clean + 3-perturbed shared-decoder protocol
+    (train_semi_CCT_2d.py / unet3d_cct.py:125-205 semantics), shared by
+    every folded CCT variant (unet_cct_s2d / unet3d_cct_s2d /
+    vnet_cct_s2d and their *_batched twins).
+
+    clean_levels: per-level feature tensors in DECODER layout.
+    perturb_one(key, kind) -> perturbed per-level list, SAME layout
+        (each model owns its fold/unfold mapping so the perturbation
+        itself runs in the original layout with identical rng draws).
+    decode(levels) -> logits for one decoder pass over such a list.
+    n: per-pass batch size (for slicing the batched output).
+
+    batched=False: 4 serial decoder passes — the protocol-exact path.
+    batched=True: ONE 4N-batched decode, sliced back into 4 — the
+        documented train-mode BN deviation (stats over the combined 4N
+        batch); eval-exact since eval has no perturbed passes.
+    perturb_one is pure in `key` (jax.random, no flax state), so
+    computing the perturbations up front draws bitwise the same numbers
+    as the serial protocol's interleaved order."""
+    keys = jax.random.split(key, 3)
+    pert = [perturb_one(k, kind)
+            for k, kind in zip(keys, CCT_PERTURB_KINDS)]
+    if batched:
+        stacked = [jnp.concatenate([c] + [p[lv] for p in pert], axis=0)
+                   for lv, c in enumerate(clean_levels)]
+        out = decode(stacked)
+        return tuple(out[i * n:(i + 1) * n] for i in range(4))
+    return (decode(clean_levels), *[decode(p) for p in pert])

@@ -25,7 +25,7 @@ from ..ops.dropout import FastDropout
 from ..hebb.layers import FoldedHConv, HConv
 from ..hebb.spec import HebbSpec
 from ..ops import s2d
-from .common import (max_pool, perturb_features,
+from .common import (cct_aux_outputs, max_pool, perturb_features,
                      resize_linear_align_corners, resize_nearest_torch)
 from .unet2d import BN_GAIN, ENC_DROPOUT, FEATURES, ConvBlockLeaky
 
@@ -370,20 +370,10 @@ class UNetCCT2DS2D(nn.Module):
         if not self.has_rng("perturb"):
             main = decode(feats)
             return main, main, main, main
-        keys = jax.random.split(self.make_rng("perturb"), 3)
-        pert = [_perturb_folded(keys[i], feats, kind)
-                for i, kind in enumerate(("noise", "dropout",
-                                          "feature_dropout"))]
-        if self.batched_aux:
-            n = x.shape[0]
-            stacked = [jnp.concatenate(
-                [feats[lv]] + [p[lv] for p in pert], axis=0)
-                for lv in range(5)]
-            out = decode(stacked)
-            return tuple(out[i * n:(i + 1) * n] for i in range(4))
-        main = decode(feats)
-        aux = [decode(p) for p in pert]
-        return (main, *aux)
+        return cct_aux_outputs(
+            self.make_rng("perturb"), list(feats),
+            lambda k, kind: _perturb_folded(k, feats, kind),
+            decode, x.shape[0], self.batched_aux)
 
 
 class UNet2DS2D(nn.Module):

@@ -284,7 +284,8 @@ class UNet3DCCTS2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from .common import perturb_features, remat_policy
+        from .common import (cct_aux_outputs, perturb_features,
+                             remat_policy)
 
         kw = dict(fold=self.fold, hebb=self.hebb,
                   init_type=self.init_type, dtype=self.dtype)
@@ -306,28 +307,17 @@ class UNet3DCCTS2D(nn.Module):
         if not self.has_rng("perturb"):
             main = decode(bottleneck, feats)
             return main, main, main, main
-        keys = jax.random.split(self.make_rng("perturb"), 3)
+        # perturbations run in the ORIGINAL layout (level 0 unfolded)
+        # for rng-draw identity with the unfolded model, then map back
+        # to decoder layout: [bottleneck, folded lvl0, lvls 1-3]
         all_feats = [s2d3d.unfold3(feats[0], f)] + feats[1:] \
             + [bottleneck]
-        if self.batched_aux:
-            pert = [perturb_features(k, all_feats, kind)
-                    for k, kind in zip(keys, ("noise", "dropout",
-                                              "feature_dropout"))]
-            n = x.shape[0]
-            sb = jnp.concatenate([bottleneck] + [p[-1] for p in pert],
-                                 axis=0)
-            sf = [jnp.concatenate(
-                [feats[0]] + [s2d3d.fold3(p[0], f) for p in pert],
-                axis=0)]
-            sf += [jnp.concatenate([feats[lv]] + [p[lv] for p in pert],
-                                   axis=0) for lv in range(1, 4)]
-            out = decode(sb, sf)
-            return tuple(out[i * n:(i + 1) * n] for i in range(4))
-        main = decode(bottleneck, feats)
-        aux = []
-        for k, kind in zip(keys, ("noise", "dropout",
-                                  "feature_dropout")):
+
+        def perturb_one(k, kind):
             p = perturb_features(k, all_feats, kind)
-            aux.append(decode(p[-1],
-                              [s2d3d.fold3(p[0], f)] + p[1:4]))
-        return (main, *aux)
+            return [p[-1], s2d3d.fold3(p[0], f)] + p[1:4]
+
+        return cct_aux_outputs(
+            self.make_rng("perturb"), [bottleneck] + list(feats),
+            perturb_one, lambda lv: decode(lv[0], lv[1:]),
+            x.shape[0], self.batched_aux)

@@ -351,9 +351,8 @@ class VNetCCTS2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        import jax
-
-        from .common import perturb_features, remat_policy
+        from .common import (cct_aux_outputs, perturb_features,
+                             remat_policy)
         kw = dict(hebb=self.hebb, init_type=self.init_type,
                   dtype=self.dtype)
         out16f = FoldedInputTransition(name="in_tr", **kw)(x, train)
@@ -375,29 +374,20 @@ class VNetCCTS2D(nn.Module):
         if not self.has_rng("perturb"):
             main = decode(out256, out128, out64, out32, out16f)
             return main, main, main, main
-        keys = jax.random.split(self.make_rng("perturb"), 3)
+        # perturbations run in the ORIGINAL layout (full-res level
+        # unfolded) for rng-draw identity, then refold for the decoder
         feats = [out256, out128, out64, out32,
                  s2d3d.unfold3(out16f, FOLD)]
-        if self.batched_aux:
-            pert = [perturb_features(k, feats, kind)
-                    for k, kind in zip(keys, ("noise", "dropout",
-                                              "feature_dropout"))]
-            n = x.shape[0]
-            clean = [out256, out128, out64, out32, out16f]
-            stacked = [jnp.concatenate(
-                [clean[lv]] + [p[lv] if lv < 4 else
-                               s2d3d.fold3(p[4], FOLD) for p in pert],
-                axis=0) for lv in range(5)]
-            out = decode(*stacked)
-            return tuple(out[i * n:(i + 1) * n] for i in range(4))
-        main = decode(out256, out128, out64, out32, out16f)
-        aux = []
-        for k, kind in zip(keys, ("noise", "dropout",
-                                  "feature_dropout")):
+
+        def perturb_one(k, kind):
             p = perturb_features(k, feats, kind)
-            aux.append(decode(p[0], p[1], p[2], p[3],
-                              s2d3d.fold3(p[4], FOLD)))
-        return (main, *aux)
+            return p[:4] + [s2d3d.fold3(p[4], FOLD)]
+
+        return cct_aux_outputs(
+            self.make_rng("perturb"),
+            [out256, out128, out64, out32, out16f],
+            perturb_one, lambda lv: decode(*lv),
+            x.shape[0], self.batched_aux)
 
 
 class VNetDTCS2D(nn.Module):
