@@ -27,6 +27,24 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def spatial_sharding(mesh: Mesh, axis: str = "data",
+                     spatial_dim: int = 1) -> NamedSharding:
+    """Shard a SPATIAL dimension across the mesh (sp parallelism).
+
+    ``spatial_dim=1`` shards H for NHWC images / D for NDHWC volumes.
+    XLA's SPMD partitioner inserts the halo exchanges every conv / pool /
+    transpose-conv needs at the shard boundaries (collective-permutes over
+    ICI), so an input too large for one chip's HBM runs with NO model
+    changes — the whole-volume alternative to the patch slider when a
+    multi-chip mesh is available.  The reference is single-GPU and has no
+    counterpart (it tiles via the sliding window only,
+    /root/reference/test_3d.py:119-168).  Equality vs the replicated
+    forward is asserted in tests/test_data_parallel.py and the driver's
+    multichip dryrun."""
+    spec = [None] * spatial_dim + [axis]
+    return NamedSharding(mesh, P(*spec))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

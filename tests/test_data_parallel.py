@@ -122,6 +122,65 @@ def test_dp_padded_batch_matches_unpadded_grads():
             s1.params, s2.params)
 
 
+def test_spatial_partitioning_forward_matches_single_device():
+    """sp parallelism: shard the H axis of the flagship UNet forward over
+    a 4-device mesh.  XLA SPMD inserts the conv/pool halo exchanges at the
+    shard boundaries; the partitioned logits must equal the replicated
+    run (same program, different partitioning)."""
+    import jax.numpy as jnp
+
+    from hebbax.models import get_network, primary_logits
+    from hebbax.parallel import make_mesh, replicated, spatial_sharding
+
+    model = get_network("unet", 3, 2)
+    x = np.random.default_rng(3).normal(
+        size=(2, 64, 64, 3)).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+
+    def fwd(vs, img):
+        return primary_logits("unet", model.apply(vs, img, train=False))
+
+    ref = np.asarray(jax.jit(fwd)(variables, x))
+
+    mesh = make_mesh(4)
+    sp = spatial_sharding(mesh)  # P(None, 'data'): H split 4-way
+    got = jax.jit(fwd)(jax.device_put(variables, replicated(mesh)),
+                       jax.device_put(jnp.asarray(x), sp))
+    # the output keeps the input partitioning: each device holds 16 rows
+    assert got.sharding.spec == sp.spec
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_spatial_partitioning_3d_volume_matches_single_device():
+    """sp over the D axis of a whole 3D volume forward — the multi-chip
+    alternative to patch tiling when a volume exceeds one chip's HBM
+    (the slider stays the reference-protocol default; this asserts the
+    partitioned program computes the identical function)."""
+    import jax.numpy as jnp
+
+    from hebbax.models import get_network, primary_logits
+    from hebbax.parallel import make_mesh, replicated, spatial_sharding
+
+    model = get_network("unet3d_min", 1, 2)
+    x = np.random.default_rng(5).normal(
+        size=(1, 32, 16, 16, 1)).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 16, 16, 16, 1)), train=False)
+
+    def fwd(vs, img):
+        return primary_logits("unet3d_min",
+                              model.apply(vs, img, train=False))
+
+    ref = np.asarray(jax.jit(fwd)(variables, x))
+
+    mesh = make_mesh(2)
+    sp = spatial_sharding(mesh)  # P(None, 'data'): D split 2-way
+    got = jax.jit(fwd)(jax.device_put(variables, replicated(mesh)),
+                       jax.device_put(jnp.asarray(x), sp))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
+
+
 def test_semi_unsup_losses_ignore_padded_samples():
     """The semi consistency objectives must be invariant to dp padding:
     weighted over the valid samples only."""
